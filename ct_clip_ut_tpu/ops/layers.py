@@ -1,0 +1,165 @@
+"""NN primitives: layer norms, GEGLU feed-forward, PEG depthwise conv.
+
+Re-designed functionally for TPU/XLA (pure functions over param pytrees);
+behavior matches reference src/utils/attention.py:27-83.
+
+Conventions:
+  * linear weights are stored (in_features, out_features) and applied x @ w
+    (the torch->jax converter transposes);
+  * normalization / softmax run in fp32 regardless of compute dtype;
+  * dropout takes an explicit PRNG key and a `deterministic` flag.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch nn.Linear / nn.Conv3d default: kaiming-uniform fan_in)
+# ---------------------------------------------------------------------------
+
+def _kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key, dim_in: int, dim_out: int, bias: bool = False):
+    wkey, bkey = jax.random.split(key)
+    p = {"w": _kaiming_uniform(wkey, (dim_in, dim_out), fan_in=dim_in)}
+    if bias:
+        bound = 1.0 / math.sqrt(dim_in)
+        p["b"] = jax.random.uniform(bkey, (dim_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def linear(params, x: Array) -> Array:
+    y = x @ params["w"].astype(x.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# layer norms
+# ---------------------------------------------------------------------------
+
+def init_layernorm(dim: int, bias: bool = True):
+    """bias=False gives the bias-frozen LayerNorm of reference attention.py:27-34
+    (gamma learned, beta fixed zero); bias=True is torch nn.LayerNorm."""
+    p = {"gamma": jnp.ones((dim,), jnp.float32)}
+    if bias:
+        p["beta"] = jnp.zeros((dim,), jnp.float32)
+    return p
+
+
+def layernorm(params, x: Array, eps: float = 1e-5) -> Array:
+    """LayerNorm over the last axis, computed in fp32 (torch F.layer_norm
+    semantics, eps 1e-5)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["gamma"]
+    if "beta" in params:
+        y = y + params["beta"]
+    return y.astype(orig_dtype)
+
+
+def l2norm(t: Array, eps: float = 1e-12) -> Array:
+    """torch F.normalize(dim=-1) semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True)
+    out = t.astype(jnp.float32) / jnp.maximum(n, eps)
+    return out.astype(t.dtype)
+
+
+def dropout(key, x: Array, rate: float, deterministic: bool) -> Array:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# GEGLU feed-forward (reference attention.py:38-51)
+# ---------------------------------------------------------------------------
+
+def init_feedforward(key, dim: int, inner_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        # first LN is a standard torch nn.LayerNorm (learned bias),
+        # reference attention.py:46
+        "norm": init_layernorm(dim, bias=True),
+        "proj_in": init_linear(k1, dim, inner_dim * 2, bias=False),
+        "proj_out": init_linear(k2, inner_dim, dim, bias=False),
+    }
+
+
+def feedforward(params, x: Array, *, dropout_rate: float = 0.0,
+                rng: Optional[Array] = None, deterministic: bool = True) -> Array:
+    """LN -> Linear(dim, 2*inner) -> GEGLU -> (dropout) -> Linear(inner, dim).
+
+    GEGLU splits the doubled projection into (value, gate) halves and returns
+    gelu(gate) * value — exact (erf) gelu, matching torch F.gelu
+    (reference attention.py:38-41)."""
+    h = layernorm(params["norm"], x)
+    h = linear(params["proj_in"], h)
+    value, gate = jnp.split(h, 2, axis=-1)
+    h = jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype) * value
+    if not deterministic and dropout_rate > 0.0:
+        h = dropout(rng, h, dropout_rate, deterministic=False)
+    return linear(params["proj_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# PEG — positional encoding generator (reference attention.py:55-83)
+# ---------------------------------------------------------------------------
+
+def init_peg(key, dim: int):
+    # depthwise Conv3d(dim, dim, kernel 3, groups=dim), torch default bias=True.
+    # kernel stored DHWIO with I=1 (feature_group_count=dim).
+    wkey, bkey = jax.random.split(key)
+    fan_in = 1 * 3 * 3 * 3
+    return {
+        "w": _kaiming_uniform(wkey, (3, 3, 3, 1, dim), fan_in=fan_in),
+        "b": jax.random.uniform(bkey, (dim,), jnp.float32,
+                                -1.0 / math.sqrt(fan_in), 1.0 / math.sqrt(fan_in)),
+    }
+
+
+def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
+        causal: bool = True) -> Array:
+    """Depthwise 3D conv positional encoding.
+
+    `x` is (B, N, D) token-major; it is raw-reshaped to video_shape + (dim,)
+    exactly like the reference (attention.py:66-69) — note that for the
+    temporal transformer this is an intentional bit-level reshape of the
+    ((b h w), t, d) layout, reproduced for parity.
+
+    Frame (depth) padding is (2, 0) when causal else (1, 1); spatial padding
+    is (1, 1) on both axes (reference attention.py:73-75).
+    """
+    orig_shape = x.shape
+    b, t, h, w = video_shape
+    v = x.reshape(b, t, h, w, x.shape[-1])  # NDHWC
+
+    frame_pad = (2, 0) if causal else (1, 1)
+    dim = v.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        v.astype(jnp.float32),
+        params["w"],
+        window_strides=(1, 1, 1),
+        padding=(frame_pad, (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=dim,
+    )
+    out = out + params["b"]
+    return out.astype(x.dtype).reshape(orig_shape)

@@ -1,0 +1,105 @@
+"""Cosine-similarity vector quantization with straight-through estimator.
+
+Replaces the reference's vector_quantize_pytorch.VectorQuantize dependency
+(reference src/utils/ctvit.py:66,117-118: cosine codebook of 8192 x 512,
+`self.vq.train()` forced before every call with freezing delegated to
+`freeze_codebook=not self.training`). Semantics reproduced:
+
+  * codebook rows stored l2-normalized; lookup = argmax cosine similarity
+    between the l2-normalized input and the codebook;
+  * output value is the selected (normalized) codebook row; gradient is
+    straight-through (identity into the encoder) — this is what lets the
+    attribution suite backprop through the tokenizer;
+  * training updates the codebook by EMA over assigned (normalized) inputs,
+    with Laplace-smoothed cluster sizes; `freeze=True` skips the update
+    (eval / frozen-codebook mode).
+
+TPU design: the naive sim matrix for 13,824 tokens x 8192 codes is a ~453 MB
+fp32 intermediate; we chunk the token axis with lax.map so the transient
+stays in VMEM-friendly tiles, and offer a fused Pallas kernel
+(ops/pallas_vq.py) for the lookup.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import l2norm
+
+Array = jax.Array
+
+
+class VQState(NamedTuple):
+    embed: Array         # [codebook, dim], l2-normalized rows
+    embed_avg: Array     # [codebook, dim] EMA accumulator
+    cluster_size: Array  # [codebook] EMA of assignment counts
+
+
+def init_vq(key, codebook_size: int, dim: int) -> VQState:
+    embed = l2norm(jax.random.normal(key, (codebook_size, dim), jnp.float32))
+    return VQState(embed=embed, embed_avg=embed.copy(),
+                   cluster_size=jnp.zeros((codebook_size,), jnp.float32))
+
+
+def _nearest(embed: Array, flat: Array, chunk: int = 2048) -> Array:
+    """argmax cosine-sim indices for [n, d] l2-normalized inputs, chunked to
+    bound the [chunk, codebook] logits transient."""
+    n = flat.shape[0]
+    pad = (-n) % chunk
+    flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
+    blocks = flat_p.reshape(-1, chunk, flat.shape[-1])
+
+    def one(block):
+        sim = jnp.dot(block, embed.T, preferred_element_type=jnp.float32)
+        return jnp.argmax(sim, axis=-1)
+
+    idx = jax.lax.map(one, blocks).reshape(-1)
+    return idx[:n]
+
+
+def vq_lookup(state: VQState, x: Array) -> Tuple[Array, Array]:
+    """Quantize [..., d] inputs. Returns (quantized_value, indices)."""
+    shape = x.shape
+    flat = l2norm(x.reshape(-1, shape[-1]).astype(jnp.float32))
+    idx = _nearest(state.embed, flat)
+    quant = jnp.take(state.embed, idx, axis=0)
+    return quant.reshape(shape).astype(x.dtype), idx.reshape(shape[:-1])
+
+
+def vq_apply(state: VQState, x: Array, *, freeze: bool = True,
+             decay: float = 0.8, eps: float = 1e-5
+             ) -> Tuple[Array, Array, VQState]:
+    """Full VQ forward.
+
+    Returns (out, indices, new_state). `out` carries straight-through
+    gradients: value == codebook row, d out/d x == identity. With
+    freeze=True, new_state is the input state unchanged.
+    """
+    quant, idx = vq_lookup(state, x)
+    out = x + jax.lax.stop_gradient(quant - x)
+
+    if freeze:
+        return out, idx, state
+
+    codebook_size, dim = state.embed.shape
+    flat = l2norm(x.reshape(-1, dim).astype(jnp.float32))
+    flat = jax.lax.stop_gradient(flat)
+    onehot = jax.nn.one_hot(idx.reshape(-1), codebook_size, dtype=jnp.float32)
+
+    counts = onehot.sum(axis=0)                          # [codebook]
+    embed_sum = onehot.T @ flat                          # [codebook, dim]
+
+    cluster_size = state.cluster_size * decay + counts * (1.0 - decay)
+    embed_avg = state.embed_avg * decay + embed_sum * (1.0 - decay)
+
+    # Laplace smoothing of cluster sizes, then renormalize rows onto the sphere.
+    n = cluster_size.sum()
+    smoothed = (cluster_size + eps) / (n + codebook_size * eps) * n
+    embed = l2norm(embed_avg / smoothed[:, None])
+
+    new_state = VQState(embed=embed, embed_avg=embed_avg,
+                        cluster_size=cluster_size)
+    return out, idx, new_state

@@ -1,0 +1,212 @@
+"""Numerical parity of NN primitives vs torch oracles (reference
+src/utils/attention.py semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ct_clip_ut_tpu.config import AttentionConfig, TransformerConfig
+from ct_clip_ut_tpu.ops import attention as attn_mod
+from ct_clip_ut_tpu.ops import layers, posbias, transformer, vq
+
+import oracles
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_layernorm_bias_frozen():
+    p = layers.init_layernorm(16, bias=False)
+    p = {"gamma": jax.random.normal(KEY, (16,)) + 1.0}
+    x = np.random.RandomState(0).randn(4, 16).astype(np.float32)
+    got = layers.layernorm(p, jnp.asarray(x))
+    want = oracles.layernorm_oracle(oracles.to_np(p), x, bias=False).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_layernorm_with_bias():
+    k1, k2 = jax.random.split(KEY)
+    p = {"gamma": jax.random.normal(k1, (16,)) + 1.0,
+         "beta": jax.random.normal(k2, (16,))}
+    x = np.random.RandomState(1).randn(3, 5, 16).astype(np.float32)
+    got = layers.layernorm(p, jnp.asarray(x))
+    want = oracles.layernorm_oracle(oracles.to_np(p), x, bias=True).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_l2norm():
+    x = np.random.RandomState(2).randn(4, 8).astype(np.float32)
+    got = layers.l2norm(jnp.asarray(x))
+    import torch.nn.functional as F
+    import torch
+    want = F.normalize(torch.from_numpy(x), dim=-1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_feedforward_parity():
+    dim = 24
+    inner = int(4 * (2 / 3) * dim)
+    p = layers.init_feedforward(KEY, dim, inner)
+    x = np.random.RandomState(3).randn(2, 7, dim).astype(np.float32)
+    got = layers.feedforward(p, jnp.asarray(x))
+    want = oracles.feedforward_oracle(oracles.to_np(p), x).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_peg_parity(causal):
+    dim = 8
+    p = layers.init_peg(KEY, dim)
+    video_shape = (2, 3, 4, 4)
+    x = np.random.RandomState(4).randn(2 * 3, 16, dim).astype(np.float32)
+    got = layers.peg(p, jnp.asarray(x), video_shape, causal=causal)
+    want = oracles.peg_oracle(oracles.to_np(p), x, video_shape, causal).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_peg_temporal_layout_reshape():
+    """The temporal transformer feeds ((b h w), t, d); PEG must raw-reshape it
+    to (b, t, h, w, d) bit-for-bit like the reference (attention.py:69)."""
+    dim = 4
+    p = layers.init_peg(KEY, dim)
+    b, t_, h, w = 1, 3, 2, 2
+    x = np.random.RandomState(5).randn(b * h * w, t_, dim).astype(np.float32)
+    got = layers.peg(p, jnp.asarray(x), (b, t_, h, w), causal=True)
+    want = oracles.peg_oracle(oracles.to_np(p), x, (b, t_, h, w), True).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert got.shape == x.shape
+
+
+def test_continuous_pos_bias_parity():
+    p = posbias.init_continuous_pos_bias(KEY, dim=32, heads=8, num_dims=2)
+    got = posbias.continuous_pos_bias(p, 5, 5)
+    want = oracles.cpb_oracle(oracles.to_np(p), (5, 5)).numpy()
+    assert got.shape == (8, 25, 25)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_continuous_pos_bias_3d():
+    p = posbias.init_continuous_pos_bias(KEY, dim=16, heads=4, num_dims=3)
+    got = posbias.continuous_pos_bias(p, 3, 4, 4)
+    want = oracles.cpb_oracle(oracles.to_np(p), (3, 4, 4)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_alibi_parity():
+    got = posbias.alibi_bias(8, 6, 6)
+    want = oracles.alibi_oracle(8, 6, 6).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    got = posbias.alibi_bias(6, 4, 9)  # non-pow2 heads, i != j
+    want = oracles.alibi_oracle(6, 4, 9).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_attention_self_parity():
+    cfg = AttentionConfig(dim=32, dim_head=8, heads=4)
+    p = attn_mod.init_attention(KEY, cfg)
+    x = np.random.RandomState(6).randn(2, 10, 32).astype(np.float32)
+    bias = np.random.RandomState(7).randn(4, 10, 10).astype(np.float32)
+    got, w = attn_mod.attention(p, cfg, jnp.asarray(x), attn_bias=jnp.asarray(bias))
+    want, want_w = oracles.attention_oracle(oracles.to_np(p), cfg, x, attn_bias=bias)
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-4)
+    np.testing.assert_allclose(w, want_w.numpy(), atol=1e-5)
+
+
+def test_attention_cross_nullkv_mask_parity():
+    cfg = AttentionConfig(dim=32, dim_context=48, dim_head=8, heads=4, num_null_kv=2)
+    p = attn_mod.init_attention(KEY, cfg)
+    rs = np.random.RandomState(8)
+    x = rs.randn(2, 6, 32).astype(np.float32)
+    ctx = rs.randn(2, 9, 48).astype(np.float32)
+    mask = rs.rand(2, 9) > 0.3
+    got, w = attn_mod.attention(p, cfg, jnp.asarray(x), context=jnp.asarray(ctx),
+                                mask=jnp.asarray(mask))
+    want, want_w = oracles.attention_oracle(oracles.to_np(p), cfg, x,
+                                            context=ctx, mask=mask)
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-4)
+    np.testing.assert_allclose(w, want_w.numpy(), atol=1e-5)
+    assert w.shape == (2, 4, 6, 9 + 2)
+
+
+def test_attention_causal_alibi_parity():
+    cfg = AttentionConfig(dim=16, dim_head=4, heads=4, causal=True)
+    p = attn_mod.init_attention(KEY, cfg)
+    x = np.random.RandomState(9).randn(1, 7, 16).astype(np.float32)
+    got, w = attn_mod.attention(p, cfg, jnp.asarray(x))
+    want, want_w = oracles.attention_oracle(oracles.to_np(p), cfg, x)
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-4)
+    # causal: no attention to the future
+    assert np.allclose(np.triu(np.asarray(w)[0, 0], k=1), 0.0, atol=1e-7)
+
+
+def test_vq_cosine_lookup_and_ste():
+    state = vq.init_vq(KEY, codebook_size=64, dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 8))
+    out, idx, new_state = vq.vq_apply(state, x, freeze=True)
+    # value equals the selected normalized codebook row
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(state.embed)[np.asarray(idx)], atol=1e-6)
+    # frozen: state unchanged
+    assert new_state is state
+    # straight-through: d sum(out) / d x == ones
+    g = jax.grad(lambda z: vq.vq_apply(state, z, freeze=True)[0].sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(g), atol=1e-6)
+    # nearest is really argmax cosine sim
+    sims = np.asarray(layersafe_norm(x).reshape(-1, 8)) @ np.asarray(state.embed).T
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1), sims.argmax(-1))
+
+
+def layersafe_norm(x):
+    return layers.l2norm(x)
+
+
+def test_vq_ema_update_moves_codebook():
+    state = vq.init_vq(KEY, codebook_size=16, dim=4)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 4))
+    _, _, new_state = vq.vq_apply(state, x, freeze=False)
+    assert not np.allclose(np.asarray(new_state.embed), np.asarray(state.embed))
+    # rows stay unit-norm
+    norms = np.linalg.norm(np.asarray(new_state.embed), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_transformer_returns_weights_and_residual_wiring():
+    cfg = TransformerConfig(dim=16, depth=2, dim_head=4, heads=4,
+                            dim_context=8, has_cross_attn=True,
+                            peg=True, peg_causal=True)
+    p = transformer.init_transformer(KEY, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 8))
+    out, aux = transformer.transformer(
+        p, cfg, x, video_shape=(2, 3, 2, 2), context=ctx, return_weights=True)
+    assert out.shape == x.shape
+    assert len(aux.self_attn) == 2 and len(aux.cross_attn) == 2
+    assert aux.self_attn[0].shape == (2, 4, 12, 12)
+    assert aux.cross_attn[0].shape == (2, 4, 12, 5 + 2)  # 2 null kv
+    # rows of attention sum to 1
+    np.testing.assert_allclose(np.asarray(aux.self_attn[0]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_transformer_taps_capture_and_inject():
+    from ct_clip_ut_tpu.ops.taps import Taps
+    cfg = TransformerConfig(dim=8, depth=2, dim_head=4, heads=2)
+    p = transformer.init_transformer(KEY, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 6, 8))
+
+    taps = Taps(capture={"0.attn_out", "1.ff_out"})
+    out, _ = transformer.transformer(p, cfg, x, taps=taps)
+    assert set(taps.collected) == {"0.attn_out", "1.ff_out"}
+
+    # gradient via zero-injection == hook register_hook gradient
+    def score(inj):
+        tp = Taps(inject={"1.ff_out": inj})
+        o, _ = transformer.transformer(p, cfg, x, taps=tp)
+        return (o ** 2).sum()
+
+    g = jax.grad(score)(jnp.zeros_like(taps.collected["1.ff_out"]))
+    assert g.shape == x.shape
+    assert float(jnp.abs(g).sum()) > 0
+    # injection of zeros must not change the forward value
+    tp0 = Taps(inject={"1.ff_out": jnp.zeros_like(taps.collected["1.ff_out"])})
+    out0, _ = transformer.transformer(p, cfg, x, taps=tp0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out), atol=0)
