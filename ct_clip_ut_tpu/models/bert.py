@@ -1,0 +1,132 @@
+"""BERT-style text encoder (CXR-BERT-specialized compatible).
+
+The reference consumes HF `BertModel` as a black box and takes the CLS hidden
+state (reference src/models/ctclip.py:107, src/train_ctclip.py:17). We
+implement the encoder natively in JAX so the text tower jits/shards with the
+rest of the model; weights convert from the HF checkpoint
+(train/checkpoint.py). Matches HF BertModel semantics: learned word/position/
+token-type embeddings -> post-LN transformer stack -> last_hidden_state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BertConfig
+from ..ops.layers import dropout, init_linear, layernorm, linear
+
+Array = jax.Array
+
+
+def _init_ln(dim):
+    return {"gamma": jnp.ones((dim,), jnp.float32),
+            "beta": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_bert(key, cfg: BertConfig):
+    keys = iter(jax.random.split(key, 6 + 6 * cfg.num_layers))
+    h = cfg.hidden_size
+    emb_scale = 0.02
+
+    def emb(k, n, d):
+        return jax.random.normal(k, (n, d), jnp.float32) * emb_scale
+
+    params = {
+        "embeddings": {
+            "word": emb(next(keys), cfg.vocab_size, h),
+            "position": emb(next(keys), cfg.max_position_embeddings, h),
+            "token_type": emb(next(keys), cfg.type_vocab_size, h),
+            "ln": _init_ln(h),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "q": init_linear(next(keys), h, h, bias=True),
+            "k": init_linear(next(keys), h, h, bias=True),
+            "v": init_linear(next(keys), h, h, bias=True),
+            "attn_out": init_linear(next(keys), h, h, bias=True),
+            "attn_ln": _init_ln(h),
+            "ffn_in": init_linear(next(keys), h, cfg.intermediate_size, bias=True),
+            "ffn_out": init_linear(next(keys), cfg.intermediate_size, h, bias=True),
+            "ffn_ln": _init_ln(h),
+        })
+    return params
+
+
+def bert_apply(params, cfg: BertConfig, input_ids: Array,
+               attention_mask: Optional[Array] = None,
+               token_type_ids: Optional[Array] = None,
+               *, rng: Optional[Array] = None,
+               deterministic: bool = True,
+               compute_dtype=jnp.float32) -> Array:
+    """Returns last_hidden_state [b, n, hidden]."""
+    b, n = input_ids.shape
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+
+    e = params["embeddings"]
+    x = (jnp.take(e["word"], input_ids, axis=0)
+         + e["position"][None, :n]
+         + jnp.take(e["token_type"], token_type_ids, axis=0))
+    x = layernorm(e["ln"], x, eps=cfg.layer_norm_eps).astype(compute_dtype)
+    if not deterministic:
+        rng, r = jax.random.split(rng)
+        x = dropout(r, x, cfg.hidden_dropout, deterministic=False)
+
+    # HF-style additive mask: 0 where attended, dtype-min where padded
+    neg = jnp.finfo(jnp.float32).min
+    ext_mask = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [b, n]
+    ext_mask = ext_mask[:, None, None, :]
+
+    head_dim = cfg.hidden_size // cfg.num_heads
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+
+    for layer in params["layers"]:
+        if not deterministic:
+            rng, r_attn, r1, r2 = jax.random.split(rng, 4)
+        else:
+            r_attn = r1 = r2 = None
+
+        def split_heads(t):
+            return t.reshape(b, n, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = split_heads(linear(layer["q"], x))
+        k = split_heads(linear(layer["k"], x))
+        v = split_heads(linear(layer["v"], x))
+
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        sim = sim + ext_mask
+        attn = jax.nn.softmax(sim, axis=-1).astype(compute_dtype)
+        if not deterministic:
+            attn = dropout(r_attn, attn, cfg.attention_dropout, deterministic=False)
+        ctx = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                         preferred_element_type=jnp.float32).astype(compute_dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, cfg.hidden_size)
+
+        h = linear(layer["attn_out"], ctx)
+        if not deterministic:
+            h = dropout(r1, h, cfg.hidden_dropout, deterministic=False)
+        x = layernorm(layer["attn_ln"], h + x, eps=cfg.layer_norm_eps).astype(compute_dtype)
+
+        h = linear(layer["ffn_in"], x)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(compute_dtype)
+        h = linear(layer["ffn_out"], h)
+        if not deterministic:
+            h = dropout(r2, h, cfg.hidden_dropout, deterministic=False)
+        x = layernorm(layer["ffn_ln"], h + x, eps=cfg.layer_norm_eps).astype(compute_dtype)
+
+    return x
+
+
+def bert_cls(params, cfg: BertConfig, input_ids, attention_mask=None,
+             token_type_ids=None, **kw) -> Array:
+    """CLS-token hidden state [b, hidden] (reference ctclip.py:107)."""
+    return bert_apply(params, cfg, input_ids, attention_mask,
+                      token_type_ids, **kw)[:, 0, :]

@@ -1,0 +1,92 @@
+"""CTGenerate: CT-ViT tokenizer -> MaskGit conditioned on T5 report
+embeddings, with per-keyword cross-attention extraction.
+
+Reference: src/models/ctgenerate.py:26-64 + src/utils/CTGenerateInference.py.
+A [1, 1, D, H, W] scan is encoded to codebook ids, the report is T5-encoded,
+MaskGit attends over the flattened token grid with cross-attention to the
+report, and for each positive pathology the cross-attention columns of its
+token span become a localization heatmap.
+
+Two intent-fixes over the reference's dead code path (SURVEY.md 2.5 #2):
+  * cross-attention weights really exist (last layer's, matching what the
+    reference's overwritten loop variable would have held);
+  * the 2 null-KV columns are sliced off before keyword indexing so token
+    indices address actual text positions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CTGenerateConfig
+from .ctvit import ctvit_apply
+from .maskgit import maskgit_apply
+
+Array = jax.Array
+
+
+class CTGenerateOutput(NamedTuple):
+    feature_map: Array                  # [1, n, dim] maskgit embeddings
+    kw_attention: Dict[str, Array]      # keyword -> [1, heads, n, n_kw_tokens]
+    video_patch_shape: Tuple[int, int, int]
+    codebook_ids: Array
+
+
+def init_ctgenerate(key, cfg: CTGenerateConfig):
+    from .maskgit import init_maskgit
+    from .ctvit import init_ctvit
+    from .t5 import init_t5_encoder
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "ctvit": init_ctvit(k1, cfg.ctvit),
+        "maskgit": init_maskgit(k2, cfg.maskgit),
+        "t5": init_t5_encoder(k3, cfg.t5),
+    }
+
+
+def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
+                     text_embed: Array, text_mask: Array,
+                     keyword_indices: Dict[str, list], *,
+                     return_embeds: bool = True) -> CTGenerateOutput:
+    """Forward (reference ctgenerate.py:26-64). `text_embed`/`text_mask` come
+    from models.t5.T5TextConditioner.encode; `keyword_indices` from
+    get_token_indices on the positive pathologies."""
+    vit_out = ctvit_apply(params["ctvit"], cfg.ctvit, ct_scan, freeze_vq=True)
+    ids_grid = vit_out.codebook_ids                  # [1, t, h, w]
+    video_patch_shape = ids_grid.shape[1:]
+    ids = ids_grid.reshape(1, -1)
+
+    token_mask = jnp.ones_like(ids, dtype=bool)      # reference ctgenerate.py:47
+
+    mg = maskgit_apply(
+        params["maskgit"], cfg.maskgit, ids, text_embed,
+        video_patch_shape, text_mask=text_mask, video_mask=token_mask,
+        return_embeds=return_embeds)
+
+    # last layer's cross-attention; drop the null-KV columns so text token
+    # indices address text positions
+    num_null = cfg.maskgit.transformer().attn_num_null_kv
+    cross = mg.cross_attn[-1][..., num_null:]        # [1, heads, n, text_len]
+
+    kw_attention = {kw: cross[..., jnp.asarray(idx)]
+                    for kw, idx in keyword_indices.items()}
+
+    return CTGenerateOutput(feature_map=mg.output, kw_attention=kw_attention,
+                            video_patch_shape=tuple(int(d) for d in video_patch_shape),
+                            codebook_ids=ids_grid)
+
+
+def keyword_heatmap(cross_attention: Array,
+                    video_patch_shape: Tuple[int, int, int],
+                    target_shape: Tuple[int, int, int]) -> Array:
+    """[1, heads, n, kw_tokens] -> [D, H, W] normalized heatmap: mean over
+    heads and keyword tokens, reshape to the token grid, trilinear upsample,
+    min-max (reference CTGenerateInference.py:130-138; rot90 left to the
+    caller like the rest of the suite)."""
+    w = cross_attention.mean(axis=1).mean(axis=-1)   # [1, n]
+    vol = w.reshape(video_patch_shape).astype(jnp.float32)
+    vol = jax.image.resize(vol, target_shape, method="trilinear")
+    return (vol - vol.min()) / (vol.max() - vol.min() + 1e-8)

@@ -1,0 +1,157 @@
+"""CT-ViT: 3D video tokenizer with factorized spatial/temporal attention
+and a cosine-VQ bottleneck.
+
+Reference: src/utils/ctvit.py:9-125. Pipeline for a [b, 1, 240, 480, 480]
+volume (ctclip config): 3D patch embed (20x20 spatial, 10 temporal) ->
+[b, 24, 24, 24, 512] token grid -> spatial transformer over (b t) x 576
+tokens with a 2D continuous-position bias -> temporal transformer over
+(b h w) x 24 tokens -> VQ (8192-codebook, cosine) -> [b, 24, 24, 24, 512].
+
+The factorized attention is the architectural long-context device of the
+whole model: it bounds attention to 576^2 instead of 13,824^2 (SURVEY.md
+section 5). On TPU the (b*t) and (b*h*w) leading axes are large clean batch
+dims that vmap straight onto the MXU and shard over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CTViTConfig
+from ..ops.layers import init_layernorm, init_linear, layernorm, linear
+from ..ops.posbias import continuous_pos_bias, init_continuous_pos_bias
+from ..ops.taps import NULL_TAPS, Taps
+from ..ops.transformer import TransformerAux, init_transformer, transformer
+from ..ops.vq import VQState, init_vq, vq_apply
+
+Array = jax.Array
+
+
+def init_ctvit(key, cfg: CTViTConfig):
+    k_bias, k_pe, k_pe1, k_sp, k_tmp, k_vq = jax.random.split(key, 6)
+    params = {
+        "spatial_rel_pos_bias": init_continuous_pos_bias(
+            k_bias, dim=cfg.dim, heads=cfg.heads, num_dims=2),
+        "to_patch_emb": {
+            "norm_in": init_layernorm(cfg.patch_dim, bias=True),
+            "proj": init_linear(k_pe, cfg.patch_dim, cfg.dim, bias=True),
+            "norm_out": init_layernorm(cfg.dim, bias=True),
+        },
+        "spatial": init_transformer(k_sp, cfg.spatial_transformer()),
+        "temporal": init_transformer(k_tmp, cfg.temporal_transformer()),
+        "vq": init_vq(k_vq, cfg.codebook_size, cfg.dim),
+    }
+    if cfg.model_type == "ctgenerate":
+        params["to_patch_emb_first_frame"] = {
+            "norm_in": init_layernorm(cfg.first_frame_patch_dim, bias=True),
+            "proj": init_linear(k_pe1, cfg.first_frame_patch_dim, cfg.dim, bias=True),
+            "norm_out": init_layernorm(cfg.dim, bias=True),
+        }
+    return params
+
+
+def _patch_embed(p, x: Array) -> Array:
+    """LN -> Linear -> LN over raw patch pixels (reference ctvit.py:44-52)."""
+    h = layernorm(p["norm_in"], x)
+    h = linear(p["proj"], h)
+    return layernorm(p["norm_out"], h)
+
+
+def patchify(image: Array, patch: int, t_patch: int) -> Array:
+    """[b, c, T, H, W] -> [b, t, h, w, c * t_patch * patch^2], matching
+    einops 'b c (t pt) (h p1) (w p2) -> b t h w (c pt p1 p2)'
+    (reference ctvit.py:46-48)."""
+    b, c, T, H, W = image.shape
+    t, h, w = T // t_patch, H // patch, W // patch
+    x = image.reshape(b, c, t, t_patch, h, patch, w, patch)
+    # -> b t h w (c pt p1 p2)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b, t, h, w, c * t_patch * patch * patch)
+
+
+class CTViTOutput(NamedTuple):
+    tokens: Optional[Array]       # [b, t, h, w, d] quantized tokens
+    codebook_ids: Array           # [b, t, h, w]
+    spatial_attn: Optional[tuple]
+    temporal_attn: Optional[tuple]
+    vq_state: VQState             # updated when training (EMA), else input
+
+
+def ctvit_encode(params, cfg: CTViTConfig, tokens: Array, *,
+                 return_weights: bool = False, taps: Taps = NULL_TAPS,
+                 rng=None, deterministic: bool = True):
+    """Factorized spatial+temporal encoding of a [b, t, h, w, d] token grid
+    (reference ctvit.py:88-103)."""
+    b, t, h, w, d = tokens.shape
+    video_shape = (b, t, h, w)
+
+    attn_bias = continuous_pos_bias(
+        params["spatial_rel_pos_bias"], cfg.patch_height, cfg.patch_width)
+
+    # spatial: (b t) (h w) d
+    x = tokens.reshape(b * t, h * w, d)
+    x, sp_aux = transformer(
+        params["spatial"], cfg.spatial_transformer(), x,
+        video_shape=video_shape, attn_bias=attn_bias,
+        return_weights=return_weights, taps=taps, scope="spatial.",
+        rng=rng, deterministic=deterministic)
+    x = x.reshape(b, t, h, w, d)
+
+    # temporal: (b h w) t d
+    x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
+    x, tm_aux = transformer(
+        params["temporal"], cfg.temporal_transformer(), x,
+        video_shape=video_shape, return_weights=return_weights,
+        taps=taps, scope="temporal.", rng=rng, deterministic=deterministic)
+    x = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
+
+    return x, sp_aux, tm_aux
+
+
+def ctvit_apply(params, cfg: CTViTConfig, image: Array, *,
+                freeze_vq: bool = True,
+                return_weights: bool = False,
+                taps: Taps = NULL_TAPS,
+                rng=None, deterministic: bool = True) -> CTViTOutput:
+    """Full CT-ViT forward (reference ctvit.py:105-125).
+
+    Args:
+      image: [b, c, T, H, W] preprocessed volume.
+      freeze_vq: skip the EMA codebook update (eval / frozen-codebook mode,
+        mirroring `freeze_codebook=not self.training`, reference ctvit.py:118).
+    """
+    if cfg.model_type == "ctgenerate":
+        # first frame embedded separately (reference ctvit.py:106-110)
+        first, rest = image[:, :, :1], image[:, :, 1:]
+        first_tokens = _patch_embed(
+            params["to_patch_emb_first_frame"],
+            patchify(first, cfg.patch_size, 1))
+        rest_tokens = _patch_embed(
+            params["to_patch_emb"],
+            patchify(rest, cfg.patch_size, cfg.temporal_patch_size))
+        tokens = jnp.concatenate([first_tokens, rest_tokens], axis=1)
+    else:
+        tokens = _patch_embed(
+            params["to_patch_emb"],
+            patchify(image, cfg.patch_size, cfg.temporal_patch_size))
+
+    tokens, sp_aux, tm_aux = ctvit_encode(
+        params, cfg, tokens, return_weights=return_weights, taps=taps,
+        rng=rng, deterministic=deterministic)
+
+    b, t, h, w, d = tokens.shape
+    flat = tokens.reshape(b, t * h * w, d)
+    quant, idx, vq_state = vq_apply(
+        params["vq"], flat, freeze=freeze_vq,
+        decay=cfg.vq_decay, eps=cfg.vq_eps)
+    quant = taps.tap("vq.features", quant)
+
+    return CTViTOutput(
+        tokens=quant.reshape(b, t, h, w, d),
+        codebook_ids=idx.reshape(b, t, h, w),
+        spatial_attn=sp_aux.self_attn,
+        temporal_attn=tm_aux.self_attn,
+        vq_state=vq_state)

@@ -1,0 +1,77 @@
+"""Sharding rules: how params and batches lay out over the ("data", "model")
+mesh.
+
+The reference is data-parallel only (SURVEY.md 2.2); we add tensor
+parallelism where the model actually has mass:
+  * the 294,912 x 512 visual projection (150M params — by far the largest
+    tensor, reference ctclip.py:65) shards its contraction dim;
+  * attention QKV/out and GEGLU FF shard the head/hidden dim;
+  * BERT vocab embedding and the VQ codebook shard their leading dim.
+
+Everything else (norms, scales, biases of un-sharded outputs) replicates.
+Batches shard over "data". Under jit/GSPMD these PartitionSpecs are the whole
+story — XLA inserts the all-reduces/all-gathers over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# applied to 2D weight matrices, matched on the name of their parent module
+_COL_SHARDED = {"to_q", "to_kv", "proj_in", "q", "k", "v", "ffn_in"}   # (in, out): out dim
+_ROW_SHARDED = {"to_out", "proj_out", "attn_out", "ffn_out",           # (in, out): in dim
+                "to_visual_latent"}
+_LEAD_SHARDED = {"word", "embed", "embed_avg"}                          # (n, d): n dim
+
+
+def _spec_for(path, leaf) -> P:
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    parent = names[-2] if len(names) >= 2 else ""
+    name = names[-1]
+
+    if leaf.ndim == 2:
+        if name in _LEAD_SHARDED or parent in _LEAD_SHARDED:
+            return P("model", None)
+        if parent in _COL_SHARDED and name == "w":
+            return P(None, "model")
+        if parent in _ROW_SHARDED and name == "w":
+            return P("model", None)
+    if leaf.ndim == 1 and parent in _COL_SHARDED and name == "b":
+        return P("model")
+    return P()
+
+
+def param_specs(params) -> Any:
+    """PartitionSpec pytree matching `params`."""
+    return jax.tree_util.tree_map_with_path(_spec_for, params)
+
+
+def param_shardings(params, mesh: Mesh) -> Any:
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        param_specs(params))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_specs() -> P:
+    """Leading (batch) axis sharded over data."""
+    return P("data")
+
+
+def batch_shardings(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_specs())
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a (host-resident) param pytree onto the mesh."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.device_put(batch, batch_shardings(mesh))

@@ -1,0 +1,93 @@
+"""CTCLIP zero-shot evaluation + attribution entry point.
+
+Mirrors reference src/inference_ctclip.py (:43-59). Example:
+
+    python -m ct_clip_ut_tpu.scripts.inference_ctclip \
+        --data-valid /data/valid --valid-reports reports/valid_reports.csv \
+        --valid-labels labels/valid_labels.csv \
+        --valid-metadata metadata/valid_metadata.csv \
+        --checkpoint ctclip_v2.pt --zero-shot \
+        --visualize occlusion grad_cam
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-valid", required=True)
+    p.add_argument("--valid-reports", required=True)
+    p.add_argument("--valid-labels", required=True)
+    p.add_argument("--valid-metadata", required=True)
+    p.add_argument("--results-folder", default="./results/valid/ctclip")
+    p.add_argument("--diff-embeds", default=None,
+                   help="pathology_diff_embeddings.npy for occlusion bypass")
+    p.add_argument("--checkpoint", required=True,
+                   help="torch ctclip_v2.pt or native .msgpack")
+    p.add_argument("--tokenizer", default="microsoft/BiomedVLP-CXR-BERT-specialized")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--num-valid-samples", type=int, default=10)
+    p.add_argument("--zero-shot", action="store_true")
+    p.add_argument("--visualize", nargs="*", default=[],
+                   choices=["raw_attention_maps", "attention_rollout",
+                            "integrated_gradients", "grad_cam", "occlusion"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    from transformers import BertTokenizer
+
+    from ..attribution.suite import AttributionContext
+    from ..config import CTCLIPConfig, CTViTConfig
+    from ..data.datasets import InferenceDataset
+    from ..data.loader import DataLoader, ShardedSampler
+    from ..infer.zeroshot import CTClipInference
+    from ..train import checkpoint as ckpt
+
+    model_cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
+    tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
+
+    if args.checkpoint.endswith(".pt"):
+        params = ckpt.convert_ctclip(
+            ckpt.load_torch_checkpoint(args.checkpoint), model_cfg)
+    else:
+        from ..models.ctclip import init_ctclip
+        template = init_ctclip(jax.random.PRNGKey(0), model_cfg)
+        params = ckpt.load_checkpoint(args.checkpoint, template)
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+    params = jax.device_put(params)
+
+    ds = InferenceDataset(args.data_valid, args.valid_reports,
+                          args.valid_metadata, args.valid_labels,
+                          num_samples=args.num_valid_samples)
+    dl = DataLoader(ds, batch_size=args.batch_size,
+                    sampler=ShardedSampler(len(ds), shuffle=False,
+                                           drop_last=False),
+                    num_workers=args.num_workers, drop_last=False)
+
+    diff_embeds = None
+    if args.diff_embeds:
+        from ..attribution.embedding_arithmetic import load_diff_embeddings
+        diff_embeds = load_diff_embeddings(args.diff_embeds)
+
+    ctx = AttributionContext(params=params, cfg=model_cfg,
+                             tokenizer=tokenizer, data=ds,
+                             diff_embeds=diff_embeds)
+    inference = CTClipInference(
+        params, model_cfg, tokenizer, dl,
+        results_folder=args.results_folder,
+        zero_shot=args.zero_shot,
+        visualize={name: True for name in args.visualize},
+        attribution_ctx=ctx)
+    inference.infer()
+
+
+if __name__ == "__main__":
+    main()

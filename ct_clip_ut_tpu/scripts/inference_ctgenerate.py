@@ -1,0 +1,93 @@
+"""CTGenerate cross-attention pathology localization entry point.
+
+Mirrors reference src/inference_ctgenerate.py + CTGenerateInference.py:
+for each scan, encode to codebook ids, T5-encode the report, run MaskGit,
+and render per-positive-pathology cross-attention heatmap GIFs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-valid", required=True)
+    p.add_argument("--valid-reports", required=True)
+    p.add_argument("--valid-labels", required=True)
+    p.add_argument("--valid-metadata", required=True)
+    p.add_argument("--results-folder", default="./results/valid/ctgenerate")
+    p.add_argument("--checkpoint", required=True,
+                   help="torch ctgenerate_filtered.pt or native .msgpack")
+    p.add_argument("--t5", default="google/t5-v1_1-base")
+    p.add_argument("--num-valid-samples", type=int, default=1)
+    p.add_argument("--num-workers", type=int, default=4)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transformers import T5Tokenizer
+
+    from ..config import PATHOLOGIES, CTGenerateConfig
+    from ..data.datasets import InferenceDataset
+    from ..models.ctgenerate import ctgenerate_apply, keyword_heatmap
+    from ..models.t5 import T5TextConditioner
+    from ..train import checkpoint as ckpt
+    from ..utils.visualizations import visualize_overlay
+    from ..attribution.capture import rot90_ct
+
+    cfg = CTGenerateConfig()
+    tokenizer = T5Tokenizer.from_pretrained(args.t5)
+
+    if args.checkpoint.endswith(".pt"):
+        from transformers import T5EncoderModel
+        t5_sd = T5EncoderModel.from_pretrained(args.t5).state_dict()
+        params = ckpt.convert_ctgenerate(
+            ckpt.load_torch_checkpoint(args.checkpoint), cfg, t5_sd=t5_sd)
+    else:
+        from ..models.ctgenerate import init_ctgenerate
+        template = init_ctgenerate(jax.random.PRNGKey(0), cfg)
+        params = ckpt.load_checkpoint(args.checkpoint, template)
+    params = jax.device_put(params)
+
+    t5 = T5TextConditioner(params["t5"], cfg.t5, tokenizer)
+    ds = InferenceDataset(args.data_valid, args.valid_reports,
+                          args.valid_metadata, args.valid_labels,
+                          num_samples=args.num_valid_samples,
+                          model_type="ctgenerate")
+
+    results = Path(args.results_folder)
+    results.mkdir(parents=True, exist_ok=True)
+
+    start = time.time()
+    for idx in range(len(ds)):
+        image, text, labels, scan_name, path = ds[idx]
+        positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())
+                     if l == 1.0]
+        text_embed, text_mask = t5.encode(text)
+        kw_idx = t5.get_token_indices(positives)
+
+        out = ctgenerate_apply(params, cfg, jnp.asarray(image)[None],
+                               text_embed, text_mask, kw_idx)
+
+        img = rot90_ct(np.asarray(image).squeeze())
+        for pathology, cross in out.kw_attention.items():
+            heat = keyword_heatmap(cross, out.video_patch_shape,
+                                   image.shape[-3:])
+            heat = rot90_ct(heat)
+            visualize_overlay(
+                img, heat, scan_name, "GenerateCT Attention",
+                results / f"ctgenerate_{scan_name}_{pathology}.gif")
+            np.save(results / f"ctgenerate_{scan_name}_{pathology}.npy", heat)
+    print(f"CTGENERATE inference completed in {time.time() - start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""CTCLIP contrastive pretraining entry point.
+
+Mirrors reference src/train_ctclip.py (which hard-codes every path and
+hyperparameter, :39-58) but with a real CLI. Example:
+
+    python -m ct_clip_ut_tpu.scripts.train_ctclip \
+        --data-train /data/train --data-valid /data/valid \
+        --train-reports reports/train_reports.csv \
+        --valid-reports reports/valid_reports.csv \
+        --valid-labels labels/valid_labels.csv \
+        --train-metadata metadata/train_metadata.csv \
+        --valid-metadata metadata/valid_metadata.csv \
+        --results-folder results/train/ctclip \
+        --batch-size 8 --num-epochs 15
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-train", required=True)
+    p.add_argument("--data-valid", required=True)
+    p.add_argument("--train-reports", required=True)
+    p.add_argument("--valid-reports", required=True)
+    p.add_argument("--valid-labels", required=True)
+    p.add_argument("--train-metadata", required=True)
+    p.add_argument("--valid-metadata", required=True)
+    p.add_argument("--results-folder", default="./results/train/ctclip")
+    p.add_argument("--checkpoint", default=None,
+                   help="torch ctclip_v2.pt or native .msgpack to init from")
+    p.add_argument("--tokenizer", default="microsoft/BiomedVLP-CXR-BERT-specialized")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--num-epochs", type=int, default=15)
+    p.add_argument("--num-train-samples", type=int, default=5000)
+    p.add_argument("--num-valid-samples", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1.25e-5)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--max-grad-norm", type=float, default=0.5)
+    p.add_argument("--save-best-model", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from transformers import BertTokenizer
+
+    from ..config import CTCLIPConfig, CTViTConfig, TrainConfig
+    from ..data.datasets import InferenceDataset, TrainDataset
+    from ..data.loader import DataLoader, ShardedSampler
+    from ..train.trainer import CTClipTrainer
+
+    # flagship model (reference train_ctclip.py:19-37)
+    model_cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, lr=args.lr, wd=args.wd,
+        max_grad_norm=args.max_grad_norm, num_epochs=args.num_epochs,
+        num_train_samples=args.num_train_samples,
+        num_valid_samples=args.num_valid_samples,
+        save_best_model=args.save_best_model, seed=args.seed)
+
+    tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
+
+    train_ds = TrainDataset(args.data_train, args.train_reports,
+                            args.train_metadata,
+                            num_samples=args.num_train_samples)
+    valid_ds = InferenceDataset(args.data_valid, args.valid_reports,
+                                args.valid_metadata, args.valid_labels,
+                                num_samples=args.num_valid_samples)
+    train_dl = DataLoader(train_ds, batch_size=args.batch_size,
+                          sampler=ShardedSampler(len(train_ds), shuffle=True),
+                          num_workers=args.num_workers)
+    valid_dl = DataLoader(valid_ds, batch_size=args.batch_size,
+                          sampler=ShardedSampler(len(valid_ds), shuffle=False),
+                          num_workers=args.num_workers)
+
+    params = None
+    if args.checkpoint:
+        from ..train import checkpoint as ckpt
+        if args.checkpoint.endswith(".pt"):
+            params = ckpt.convert_ctclip(
+                ckpt.load_torch_checkpoint(args.checkpoint), model_cfg)
+        # .msgpack restores after trainer construction (needs the template)
+
+    trainer = CTClipTrainer(model_cfg, train_cfg, tokenizer,
+                            train_dl, valid_dl,
+                            results_folder=args.results_folder, params=params)
+    if args.checkpoint and args.checkpoint.endswith(".msgpack"):
+        trainer.load_model(args.checkpoint)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Training: jitted SPMD train/eval steps + host-side driver.
+
+Reference: src/utils/CTClipTrainer.py. Key re-designs for TPU:
+  * one jitted `train_step` holds the whole step — forward (global
+    contrastive batch via GSPMD), symmetric InfoNCE, backward, global-norm
+    clip, Adam update, VQ EMA write-back — instead of
+    autocast/backward/clip/step round-trips through the framework
+    (reference CTClipTrainer.py:177-204);
+  * the GatherWithGrad + DDP-average pattern (reference ctclip.py:10-41)
+    falls out of jit over batch-sharded inputs: the sim matrix is global,
+    the loss is computed once, grads of replicated params are automatically
+    all-reduced;
+  * checkpoints carry params + opt state + step + PRNG key (the reference
+    stores only model/optim and cannot resume mid-epoch, SURVEY.md 5);
+  * bf16 compute / fp32 params+optimizer replaces fp16 GradScaler autocast.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Callable, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import CTCLIPConfig, TrainConfig
+from ..models.ctclip import contrastive_loss, ctclip_apply, init_ctclip
+from ..parallel import sharding
+from ..parallel.mesh import make_mesh
+from . import checkpoint as ckpt
+from .optimizer import get_optimizer
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+    rng: Array
+
+
+def create_train_state(key, model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
+                       params=None) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = get_optimizer(lr=train_cfg.lr, wd=train_cfg.wd, betas=train_cfg.betas,
+                       eps=train_cfg.eps, max_grad_norm=train_cfg.max_grad_norm)
+    if params is None:
+        params = init_ctclip(key, model_cfg)
+    # fold_in gives the state its own key buffer: train_step donates the
+    # state, and donating the caller's key array would delete it under them
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.fold_in(key, 0))
+    return state, tx
+
+
+def _write_back_vq(params, vq_state):
+    new_vis = dict(params["visual_transformer"])
+    new_vis["vq"] = vq_state
+    new_params = dict(params)
+    new_params["visual_transformer"] = new_vis
+    return new_params
+
+
+def make_train_step(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
+                    tx: optax.GradientTransformation) -> Callable:
+    """Whole-step jit. Sharding comes from the inputs: params carry their
+    NamedShardings (parallel/sharding.py), batches are sharded over "data" —
+    GSPMD propagates and inserts the ICI collectives."""
+    compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+
+    def loss_fn(params, image, text_tokens, rng):
+        out = ctclip_apply(
+            params, model_cfg, text_tokens, image.astype(compute_dtype),
+            freeze_vq=False, rng=rng, deterministic=False)
+        return contrastive_loss(out.sim_matrix), out.vq_state
+
+    def train_step(state: TrainState, image, text_tokens):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, vq_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, image, text_tokens, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _write_back_vq(params, vq_state)  # EMA, not a grad step
+        return TrainState(params, opt_state, state.step + 1, rng), loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model_cfg: CTCLIPConfig, train_cfg: TrainConfig) -> Callable:
+    compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+
+    @jax.jit
+    def eval_step(params, image, text_tokens):
+        out = ctclip_apply(params, model_cfg, text_tokens,
+                           image.astype(compute_dtype), freeze_vq=True,
+                           deterministic=True)
+        return contrastive_loss(out.sim_matrix)
+
+    return eval_step
+
+
+class CTClipTrainer:
+    """Host-side training driver (reference CTClipTrainer.py:33-304).
+
+    `train_data` / `valid_data` are iterables (re-iterable per epoch) yielding
+    (images ndarray [B, 1, D, H, W], texts list[str]) host batches — see
+    data/loader.py. Tokenization (CXR-BERT tokenizer, max_length 512,
+    reference CTClipTrainer.py:186-192) happens on host per step.
+    """
+
+    def __init__(self,
+                 model_cfg: CTCLIPConfig,
+                 train_cfg: TrainConfig,
+                 tokenizer,
+                 train_data: Iterable,
+                 valid_data: Iterable,
+                 results_folder: str = "./results",
+                 params=None,
+                 mesh=None):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.tokenizer = tokenizer
+        self.train_data = train_data
+        self.valid_data = valid_data
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        key = jax.random.PRNGKey(train_cfg.seed)
+        self.state, self.tx = create_train_state(key, model_cfg, train_cfg,
+                                                 params=params)
+        self.state = self.state._replace(
+            params=sharding.shard_params(self.state.params, self.mesh),
+            opt_state=jax.device_put(self.state.opt_state,
+                                     sharding.replicated(self.mesh)))
+        self.train_step = make_train_step(model_cfg, train_cfg, self.tx)
+        self.eval_step = make_eval_step(model_cfg, train_cfg)
+
+        # dated + indexed results dir (reference CTClipTrainer.py:122-131)
+        base = Path(results_folder) / datetime.now().strftime("%d-%m-%Y")
+        base.mkdir(parents=True, exist_ok=True)
+        idx = len([d for d in base.iterdir() if d.is_dir()]) + 1
+        self.results_folder = base / str(idx)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+
+        self.train_losses = {"steps": [], "epochs": []}
+        self.valid_losses = []
+        self.best_score = float("inf")
+
+    # -- plumbing ----------------------------------------------------------
+
+    def tokenize(self, texts):
+        enc = self.tokenizer(
+            list(texts), return_tensors="np", padding="max_length",
+            truncation=True, max_length=self.cfg.text_max_length)
+        out = {"input_ids": jnp.asarray(enc["input_ids"]),
+               "attention_mask": jnp.asarray(enc["attention_mask"])}
+        if "token_type_ids" in enc:
+            out["token_type_ids"] = jnp.asarray(enc["token_type_ids"])
+        return out
+
+    def _put_batch(self, images, texts):
+        images = sharding.shard_batch(jnp.asarray(images), self.mesh)
+        tokens = {k: sharding.shard_batch(v, self.mesh)
+                  for k, v in self.tokenize(texts).items()}
+        return images, tokens
+
+    def save_model(self, name: str):
+        ckpt.save_checkpoint(self.results_folder / name, self.state)
+        (self.results_folder / "architecture.json").write_text(
+            json.dumps({"model_cfg": repr(self.model_cfg),
+                        "train_cfg": repr(self.cfg)}, indent=2))
+
+    def load_model(self, path):
+        self.state = ckpt.load_checkpoint(path, self.state)
+
+    # -- loops --------------------------------------------------------------
+
+    def evaluate(self, epoch: int) -> float:
+        total, n = 0.0, 0
+        for images, texts, *_ in self.valid_data:
+            images, tokens = self._put_batch(images, texts)
+            total += float(self.eval_step(self.state.params, images, tokens))
+            n += 1
+        avg = total / max(n, 1)
+        self.valid_losses.append(avg)
+        print(f"Epoch {epoch} - Validation Loss: {avg:.4f}")
+
+        if epoch == 0 or (avg < self.best_score and self.cfg.save_best_model):
+            self.best_score = min(avg, self.best_score)
+            self.save_model("best_checkpoint.msgpack")
+        try:
+            from ..utils.metrics import plot_training_progress
+            plot_training_progress(self.train_losses, self.valid_losses,
+                                   self.results_folder)
+        except Exception as e:  # plotting is best-effort
+            print(f"plot skipped: {e}")
+        return avg
+
+    def train(self):
+        print("Training started")
+        start = time.time()
+        for epoch in range(1, self.cfg.num_epochs + 1):
+            epoch_start = time.time()
+            total_loss, steps = 0.0, 0
+            for step, (images, texts) in enumerate(self.train_data, start=1):
+                images, tokens = self._put_batch(images, texts)
+                self.state, loss = self.train_step(self.state, images, tokens)
+                loss = float(loss)
+                total_loss += loss
+                steps += 1
+                self.train_losses["steps"].append(loss)
+                if epoch == 1 and step == 1:
+                    self.train_losses["epochs"].append(loss)
+                    self.evaluate(0)  # step-0 bootstrap eval (reference :278-281)
+                print(f"Epoch {epoch} | Step {step} | Loss: {loss:.6f}")
+
+            avg = total_loss / max(steps, 1)
+            self.train_losses["epochs"].append(avg)
+            print(f"Epoch {epoch} done. Avg loss {avg:.6f} "
+                  f"({time.time() - epoch_start:.1f}s)")
+            self.evaluate(epoch)
+        print(f"Training completed in {time.time() - start:.1f}s")
+        return self.state

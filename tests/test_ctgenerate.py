@@ -1,0 +1,148 @@
+"""T5 encoder parity vs HF torch, MaskGit, and CTGenerate pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ct_clip_ut_tpu.config import (CTGenerateConfig, CTViTConfig,
+                                   MaskGitConfig, T5EncoderConfig)
+from ct_clip_ut_tpu.models import ctgenerate as cg
+from ct_clip_ut_tpu.models import maskgit as mg
+from ct_clip_ut_tpu.models import t5 as t5_mod
+from ct_clip_ut_tpu.train import checkpoint as ckpt
+
+KEY = jax.random.PRNGKey(0)
+
+SMALL_T5 = T5EncoderConfig(vocab_size=128, d_model=32, d_kv=8, num_heads=4,
+                           d_ff=64, num_layers=2)
+
+
+def test_t5_parity_vs_hf():
+    import torch
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+    torch.manual_seed(0)
+    hf_cfg = HFT5Config(
+        vocab_size=128, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, feed_forward_proj="gated-gelu", dropout_rate=0.0,
+        relative_attention_num_buckets=SMALL_T5.relative_attention_num_buckets,
+        relative_attention_max_distance=SMALL_T5.relative_attention_max_distance)
+    model = T5EncoderModel(hf_cfg).eval()
+    params = ckpt.convert_t5(model.state_dict(), SMALL_T5)
+
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, 128, (2, 11)).astype(np.int32)
+    mask = np.ones((2, 11), np.int32)
+    mask[1, 7:] = 0
+    with torch.no_grad():
+        want = model(input_ids=torch.from_numpy(ids).long(),
+                     attention_mask=torch.from_numpy(mask).long()
+                     ).last_hidden_state.numpy()
+    got = t5_mod.t5_encode(params, SMALL_T5, jnp.asarray(ids), jnp.asarray(mask))
+    got = np.asarray(got)
+    # reference zeroes pad positions (t5.py:87-89); HF leaves them — compare
+    # only attended positions
+    np.testing.assert_allclose(got[0], want[0], atol=3e-5)
+    np.testing.assert_allclose(got[1, :7], want[1, :7], atol=3e-5)
+    assert np.abs(got[1, 7:]).max() == 0.0  # pad masked to zero
+
+
+def test_relative_position_buckets_vs_hf():
+    import torch
+    from transformers.models.t5.modeling_t5 import T5Attention
+    got = t5_mod.relative_position_buckets(9, 9, 32, 128)
+    ctx = torch.arange(9)[:, None]
+    mem = torch.arange(9)[None, :]
+    want = T5Attention._relative_position_bucket(
+        mem - ctx, bidirectional=True, num_buckets=32, max_distance=128)
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+SMALL_MG = MaskGitConfig(dim=16, num_tokens=32, max_seq_len=128, heads=4,
+                         dim_head=4, depth=2, dim_context=32)
+
+
+def test_maskgit_forward():
+    params = mg.init_maskgit(KEY, SMALL_MG)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 2 * 4 * 4), 0, 32)
+    context = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 32))
+    text_mask = jnp.ones((1, 7), bool)
+    out = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4),
+                           text_mask=text_mask,
+                           video_mask=jnp.ones_like(ids, dtype=bool))
+    assert out.output.shape == (1, 32, 32)  # logits over codebook
+    assert len(out.cross_attn) == 2
+    assert out.cross_attn[-1].shape == (1, 4, 32, 7 + 2)  # +2 null kv
+
+    emb = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4),
+                           text_mask=text_mask, return_embeds=True)
+    assert emb.output.shape == (1, 32, 16)
+
+
+def test_maskgit_gradient_shrink():
+    """Gradient through token embeddings scaled by alpha, value unchanged."""
+    cfg = SMALL_MG
+    params = mg.init_maskgit(KEY, cfg)
+    ids = jnp.zeros((1, 2 * 4 * 4), jnp.int32)
+    context = jnp.zeros((1, 3, 32))
+
+    def out_sum(tok_emb, alpha_cfg):
+        p = dict(params)
+        p["token_emb"] = tok_emb
+        o = mg.maskgit_apply(p, alpha_cfg, ids, context, (2, 4, 4),
+                             return_embeds=True)
+        return o.output.astype(jnp.float32).sum()
+
+    from ct_clip_ut_tpu.config import replace
+    g_a = jax.grad(out_sum)(params["token_emb"], cfg)  # alpha 0.1
+    cfg1 = replace(cfg, gradient_shrink_alpha=1.0)
+    g_1 = jax.grad(out_sum)(params["token_emb"], cfg1)
+    ratio = float(jnp.abs(g_a).sum() / jnp.abs(g_1).sum())
+    assert 0.05 < ratio < 0.2, ratio  # ~0.1 (nonlinearities distort slightly)
+
+
+SMALL_GEN = CTGenerateConfig(
+    ctvit=CTViTConfig(dim=16, codebook_size=32, image_size=32, patch_size=8,
+                      temporal_patch_size=2, spatial_depth=1,
+                      temporal_depth=1, dim_head=4, heads=4,
+                      model_type="ctgenerate"),
+    maskgit=MaskGitConfig(dim=16, num_tokens=32, max_seq_len=2048, heads=4,
+                          dim_head=4, depth=1, dim_context=32),
+    t5=SMALL_T5)
+
+
+def test_ctgenerate_pipeline():
+    params = cg.init_ctgenerate(KEY, SMALL_GEN)
+    scan = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 9, 32, 32))
+    text_embed = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 32))
+    text_mask = jnp.ones((1, 6), bool)
+    kw_idx = {"emphysema": [2, 3]}
+
+    out = cg.ctgenerate_apply(params, SMALL_GEN, scan, text_embed, text_mask,
+                              kw_idx)
+    t, h, w = out.video_patch_shape
+    assert (t, h, w) == (1 + 4, 4, 4)
+    n = t * h * w
+    assert out.feature_map.shape == (1, n, 16)
+    assert out.kw_attention["emphysema"].shape == (1, 4, n, 2)
+
+    heat = cg.keyword_heatmap(out.kw_attention["emphysema"],
+                              out.video_patch_shape, (9, 32, 32))
+    heat = np.asarray(heat)
+    assert heat.shape == (9, 32, 32)
+    assert 0.0 <= heat.min() and heat.max() <= 1.0 + 1e-6
+
+
+def test_t5_conditioner_keyword_matching():
+    """Keyword matcher over real HF T5 tokenizer pieces (host-side)."""
+    try:
+        from transformers import T5Tokenizer
+        tok = T5Tokenizer.from_pretrained("t5-small")
+    except Exception:
+        pytest.skip("no local t5 tokenizer available (zero egress)")
+    cond = t5_mod.T5TextConditioner(
+        t5_mod.init_t5_encoder(KEY, SMALL_T5), SMALL_T5, tok)
+    cond.tokens = tok.convert_ids_to_tokens(
+        tok("there is emphysema in both lungs")["input_ids"])
+    idx = cond.get_token_indices(["emphysema"])
+    assert "emphysema" in idx and len(idx["emphysema"]) >= 1
