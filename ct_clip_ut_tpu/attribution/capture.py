@@ -31,11 +31,22 @@ from ..ops.taps import Taps
 Array = jax.Array
 
 
+def parity_cfg(cfg: CTCLIPConfig) -> CTCLIPConfig:
+    """Attribution variant of a model config: bit-stable matmul patch embed
+    (conv lowering varies across vmap/scan contexts, which can flip VQ
+    argmax near ties — fatal when scores are differenced at 1e-2 scale,
+    e.g. occlusion importance)."""
+    import dataclasses
+    return dataclasses.replace(
+        cfg, ctvit=dataclasses.replace(cfg.ctvit, patch_embed_conv=False))
+
+
 def similarity_score(params, cfg: CTCLIPConfig, text_tokens, image: Array,
                      text_embeds: Optional[Array] = None,
                      taps: Taps = None, return_weights: bool = False):
     """Per-sample scalar similarity sim[0, 0] (batch-1 convention of the
     attribution suite) plus the full output."""
+    cfg = parity_cfg(cfg)
     out = ctclip_apply(params, cfg, text_tokens, image,
                        text_embeds=text_embeds, freeze_vq=True,
                        return_weights=return_weights,

@@ -65,6 +65,8 @@ def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
     `text_latent` is the fixed [dim_latent] prompt/report/diff-embedding
     latent; score = <image_latent, text_latent> * exp(temperature), the
     sim[0, 0] the reference reads per forward (visualizations.py:375,388)."""
+    from .capture import parity_cfg
+    cfg = parity_cfg(cfg)  # bit-stable embed: scores are differenced at 1e-2
     temp = jnp.exp(params["temperature"])
     txt = text_latent.astype(jnp.float32)
 
@@ -141,6 +143,40 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
     # interpolation (visualizations.py:416-420); skipped as a no-op
     heat[heat < occ.threshold] = 0.0
     return heat.astype(np.float32)
+
+
+def occlusion_scores_sharded(params, cfg: CTCLIPConfig, image: Array,
+                             text_latent: Array, coords: Array, mesh, *,
+                             occ: OcclusionConfig = OcclusionConfig(),
+                             chunk: int = 8):
+    """Multi-chip occlusion: shard the window axis over the mesh "data" axis
+    (the reference's contiguous per-rank chunking + SUM reduce,
+    visualizations.py:351-361,407-409) and run per-device chunked masked
+    forwards under shard_map; results all-gather back.
+
+    Returns (original_score, scores [N]) like occlusion_scores. `coords`
+    must have length divisible by the data-axis size (pad with window (0,0,0)
+    duplicates and slice, like the reference trims extras)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    n = coords.shape[0]
+    pad = (-n) % n_data
+    coords_p = jnp.concatenate([coords, coords[:1].repeat(pad, 0)], axis=0) \
+        if pad else coords
+
+    def per_device(image, text_latent, my_coords):
+        original, scores = occlusion_scores(
+            params, cfg, image, text_latent, my_coords, occ=occ, chunk=chunk)
+        return original, jax.lax.all_gather(scores, "data", tiled=True)
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P(), P(), P("data")),
+                   out_specs=(P(), P()),
+                   check_rep=False)
+    original, scores = fn(image, text_latent, coords_p)
+    return original, scores[:n]
 
 
 def report_text_latent(params, cfg: CTCLIPConfig, text_tokens) -> Array:

@@ -125,6 +125,12 @@ class CTViTConfig:
     # VQ (vector_quantize_pytorch.VectorQuantize equivalents, cosine codebook)
     vq_decay: float = 0.8
     vq_eps: float = 1e-5
+    # patch-embed implementation: the LN-folded strided-conv formulation is
+    # fastest on TPU, but conv lowering is not bit-stable across batching
+    # contexts (vmap vs scan-of-vmap), which can flip VQ argmax near ties.
+    # Attribution paths — where scores are DIFFERENCED at 1e-2 scale — use
+    # the bit-stable matmul formulation (attribution/capture.parity_cfg).
+    patch_embed_conv: bool = True
 
     @property
     def patch_height(self) -> int:

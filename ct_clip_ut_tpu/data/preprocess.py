@@ -132,9 +132,13 @@ def parse_xy_spacing(raw: str) -> float:
 
 
 def process_file(file_path, file_name, metadata_df, model_type: str = "ctclip",
-                 cfg: PreprocessConfig = PreprocessConfig()) -> Optional[np.ndarray]:
+                 cfg: PreprocessConfig = PreprocessConfig(),
+                 use_native: Optional[bool] = None) -> Optional[np.ndarray]:
     """CSV-metadata-driven wrapper (reference preprocess.py:84-151). Returns
-    [1, D, H, W] float32 or None on read/metadata failure."""
+    [1, D, H, W] float32 or None on read/metadata failure.
+
+    use_native: route through the fused C++ chain (native/preprocess.cpp);
+    None = auto (native when the library builds/loads)."""
     from .nifti import read_nii_data
 
     raw = read_nii_data(file_path)
@@ -155,5 +159,23 @@ def process_file(file_path, file_name, metadata_df, model_type: str = "ctclip",
         print(f"Error processing metadata for {file_name}: {e}")
         return None
 
-    return process_volume(np.asarray(raw, np.float32), slope, intercept,
+    raw = np.asarray(raw, np.float32)
+    if use_native is None or use_native:
+        from .. import native
+        if native.available():
+            if model_type == "ctclip":
+                return native.preprocess_ctclip(
+                    raw, slope, intercept, z_spacing, xy_spacing,
+                    target_spacing=cfg.target_spacing,
+                    target_shape_hwd=cfg.target_shape_hwd,
+                    hu_min=cfg.hu_min, hu_max=cfg.hu_max,
+                    pad_value=cfg.pad_value)
+            if model_type == "ctgenerate":
+                return native.preprocess_ctgenerate(
+                    raw, slope, intercept, out_shape=cfg.ctgenerate_shape,
+                    hu_min=cfg.hu_min, hu_max=cfg.hu_max)
+        if use_native:
+            raise RuntimeError("native preprocessing requested but unavailable")
+
+    return process_volume(raw, slope, intercept,
                           z_spacing, xy_spacing, model_type, cfg)

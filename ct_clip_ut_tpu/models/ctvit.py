@@ -60,6 +60,66 @@ def _patch_embed(p, x: Array) -> Array:
     return layernorm(p["norm_out"], h)
 
 
+def _patch_embed_conv(p, image: Array, patch: int, t_patch: int,
+                      eps: float = 1e-5) -> Array:
+    """Fused patch embedding as a strided conv3d with the first LayerNorm
+    folded in algebraically — equivalent to patchify + LN + Linear:
+
+        LN(x) @ W = [ (x * gamma) @ W - mean(x) * sum_i(gamma_i W_i) ]
+                    / sqrt(var(x) + eps)  +  beta @ W
+
+    so the projection becomes conv3d(x, gamma-scaled kernel) and the
+    per-patch mean/var come from two cheap reduce_windows. Avoids the 8-d
+    patchify transpose and the materialized [.., patch_dim] normalized
+    tensor (the dominant cost of the XLA patch-embed lowering on TPU).
+    """
+    b, c, T, H, W = image.shape
+    dim = p["proj"]["w"].shape[1]
+    patch_dim = c * t_patch * patch * patch
+
+    gamma = p["norm_in"]["gamma"].astype(jnp.float32)        # [patch_dim]
+    beta = p["norm_in"]["beta"].astype(jnp.float32)
+    w = p["proj"]["w"].astype(jnp.float32)                   # [patch_dim, dim]
+
+    wg = (w * gamma[:, None]).reshape(c, t_patch, patch, patch, dim)
+    kernel = wg.transpose(1, 2, 3, 0, 4)                     # DHWIO
+    s1 = (w * gamma[:, None]).sum(axis=0)                    # [dim]
+    bias = beta @ w + p["proj"].get("b", jnp.zeros((dim,))).astype(jnp.float32)
+
+    # Temporal patches don't overlap, so the 3D conv factorizes into a 2D
+    # conv with (c * t_patch) input channels: [b*t, c*pt, H, W]. This avoids
+    # both the 8-d patchify transpose and any singleton-channel layout (XLA
+    # lane-pads those 1 -> 128 on TPU: a 28 GB copy at flagship shapes).
+    t = T // t_patch
+    x2d = image.reshape(b, c, t, t_patch, H, W)
+    x2d = x2d.transpose(0, 2, 1, 3, 4, 5).reshape(b * t, c * t_patch, H, W)
+
+    # kernel rows are ordered (c, pt, p1, p2); as a 2D conv the input channel
+    # axis is (c, pt) flattened -> HWIO kernel [p1, p2, c*pt, dim]
+    k2d = wg.reshape(c, t_patch, patch, patch, dim)
+    k2d = k2d.transpose(2, 3, 0, 1, 4).reshape(patch, patch, c * t_patch, dim)
+
+    conv = jax.lax.conv_general_dilated(
+        x2d, k2d.astype(image.dtype),
+        window_strides=(patch, patch), padding="VALID",
+        dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)                  # [b*t, h, w, dim]
+
+    x32 = x2d.astype(jnp.float32)
+    window = (1, c * t_patch, patch, patch)
+    strides = (1, c * t_patch, patch, patch)
+    sum1 = jax.lax.reduce_window(x32, 0.0, jax.lax.add, window, strides,
+                                 "VALID")[:, 0]              # [b*t, h, w]
+    sum2 = jax.lax.reduce_window(x32 * x32, 0.0, jax.lax.add, window,
+                                 strides, "VALID")[:, 0]
+    mean = (sum1 / patch_dim)[..., None]
+    var = jnp.maximum((sum2 / patch_dim)[..., None] - mean * mean, 0.0)
+
+    h = (conv - mean * s1) * jax.lax.rsqrt(var + eps) + bias
+    h = h.reshape(b, t, H // patch, W // patch, dim)
+    return layernorm(p["norm_out"], h.astype(image.dtype))
+
+
 def patchify(image: Array, patch: int, t_patch: int) -> Array:
     """[b, c, T, H, W] -> [b, t, h, w, c * t_patch * patch^2], matching
     einops 'b c (t pt) (h p1) (w p2) -> b t h w (c pt p1 p2)'
@@ -123,20 +183,22 @@ def ctvit_apply(params, cfg: CTViTConfig, image: Array, *,
       freeze_vq: skip the EMA codebook update (eval / frozen-codebook mode,
         mirroring `freeze_codebook=not self.training`, reference ctvit.py:118).
     """
+    if cfg.patch_embed_conv:
+        def embed(p, img, t_patch):
+            return _patch_embed_conv(p, img, cfg.patch_size, t_patch)
+    else:
+        def embed(p, img, t_patch):
+            return _patch_embed(p, patchify(img, cfg.patch_size, t_patch))
+
     if cfg.model_type == "ctgenerate":
         # first frame embedded separately (reference ctvit.py:106-110)
         first, rest = image[:, :, :1], image[:, :, 1:]
-        first_tokens = _patch_embed(
-            params["to_patch_emb_first_frame"],
-            patchify(first, cfg.patch_size, 1))
-        rest_tokens = _patch_embed(
-            params["to_patch_emb"],
-            patchify(rest, cfg.patch_size, cfg.temporal_patch_size))
+        first_tokens = embed(params["to_patch_emb_first_frame"], first, 1)
+        rest_tokens = embed(params["to_patch_emb"], rest,
+                            cfg.temporal_patch_size)
         tokens = jnp.concatenate([first_tokens, rest_tokens], axis=1)
     else:
-        tokens = _patch_embed(
-            params["to_patch_emb"],
-            patchify(image, cfg.patch_size, cfg.temporal_patch_size))
+        tokens = embed(params["to_patch_emb"], image, cfg.temporal_patch_size)
 
     tokens, sp_aux, tm_aux = ctvit_encode(
         params, cfg, tokens, return_weights=return_weights, taps=taps,

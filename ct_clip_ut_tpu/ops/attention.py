@@ -55,13 +55,19 @@ class AttentionOutput(NamedTuple):
     weights: Optional[Array]  # [b, heads, i, j] pre-dropout, or None
 
 
+def _pallas_ok() -> bool:
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
+
+
 def attention(params, cfg: AttentionConfig, x: Array, *,
               mask: Optional[Array] = None,
               context: Optional[Array] = None,
               attn_bias: Optional[Array] = None,
               return_weights: bool = True,
               rng: Optional[Array] = None,
-              deterministic: bool = True) -> AttentionOutput:
+              deterministic: bool = True,
+              use_pallas: Optional[bool] = None) -> AttentionOutput:
     """Apply cosine-sim attention.
 
     Args:
@@ -90,6 +96,27 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
         return t.reshape(t.shape[0], t.shape[1], h, cfg.dim_head).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)  # [b, h, n, d]
+
+    # fused Pallas fast path: inference (no weights requested), no padding
+    # mask, non-causal, no null kv — i.e. the CT-ViT encoder hot loop
+    if use_pallas is None:
+        use_pallas = (not return_weights and mask is None and not cfg.causal
+                      and cfg.num_null_kv == 0
+                      and (deterministic or cfg.dropout == 0.0)
+                      and _pallas_ok())
+    if use_pallas:
+        from .pallas_attention import cosine_attention_fused
+        n = q.shape[2]
+        mkv = k.shape[2]
+        out = cosine_attention_fused(
+            q.reshape(b * h, n, cfg.dim_head),
+            k.reshape(b * h, mkv, cfg.dim_head),
+            v.reshape(b * h, mkv, cfg.dim_head),
+            params["q_scale"], params["k_scale"],
+            attn_bias, heads=h, scale=cfg.scale)
+        out = out.reshape(b, h, n, cfg.dim_head).transpose(0, 2, 1, 3)
+        out = out.reshape(b, n, cfg.inner_dim)
+        return AttentionOutput(linear(params["to_out"], out), None)
 
     if cfg.num_null_kv > 0:
         # null_kv is [h, 2*n_null, d]; reference repeats r=2 then unbinds,

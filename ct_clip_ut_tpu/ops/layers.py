@@ -153,13 +153,16 @@ def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
 
     frame_pad = (2, 0) if causal else (1, 1)
     dim = v.shape[-1]
+    # compute in the input dtype with fp32 accumulation (the reference runs
+    # this conv under fp16 autocast; bf16 here is >= that precision)
     out = jax.lax.conv_general_dilated(
-        v.astype(jnp.float32),
-        params["w"],
+        v,
+        params["w"].astype(v.dtype),
         window_strides=(1, 1, 1),
         padding=(frame_pad, (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         feature_group_count=dim,
+        preferred_element_type=jnp.float32,
     )
     out = out + params["b"]
     return out.astype(x.dtype).reshape(orig_shape)

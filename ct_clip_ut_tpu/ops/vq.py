@@ -45,9 +45,14 @@ def init_vq(key, codebook_size: int, dim: int) -> VQState:
 
 
 def _nearest(embed: Array, flat: Array, chunk: int = 2048) -> Array:
-    """argmax cosine-sim indices for [n, d] l2-normalized inputs, chunked to
-    bound the [chunk, codebook] logits transient."""
+    """argmax cosine-sim indices for [n, d] l2-normalized inputs. On TPU the
+    fused Pallas kernel streams codebook tiles (ops/pallas_vq.py); elsewhere
+    a chunked XLA map bounds the [chunk, codebook] logits transient."""
     n = flat.shape[0]
+    if jax.default_backend() == "tpu" and embed.shape[0] % 1024 == 0:
+        from .pallas_vq import vq_nearest_pallas
+        return vq_nearest_pallas(flat, embed, tc=min(2048, embed.shape[0]))
+
     pad = (-n) % chunk
     flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
     blocks = flat_p.reshape(-1, chunk, flat.shape[-1])

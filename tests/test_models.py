@@ -63,6 +63,23 @@ def test_bert_parity_vs_hf():
     np.testing.assert_allclose(np.asarray(cls), want[:, 0, :], atol=2e-5)
 
 
+def test_fused_conv_patch_embed_matches_reference_path():
+    """LN-folded strided-conv patch embed == patchify + LN + Linear + LN."""
+    p = ctvit_mod.init_ctvit(KEY, SMALL_VIT)
+    # randomize LN params so the fold is actually exercised
+    import jax
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    p["to_patch_emb"]["norm_in"]["gamma"] = (
+        jax.random.normal(k1, p["to_patch_emb"]["norm_in"]["gamma"].shape) + 1.0)
+    p["to_patch_emb"]["norm_in"]["beta"] = (
+        jax.random.normal(k2, p["to_patch_emb"]["norm_in"]["beta"].shape))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 20, 32, 32))
+    ref = ctvit_mod._patch_embed(p["to_patch_emb"],
+                                 ctvit_mod.patchify(img, 8, 10))
+    fused = ctvit_mod._patch_embed_conv(p["to_patch_emb"], img, 8, 10)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
 def test_patchify_matches_einops():
     from einops import rearrange
     rs = np.random.RandomState(1)
