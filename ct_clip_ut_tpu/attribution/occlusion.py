@@ -48,25 +48,41 @@ def window_grid(shape_dhw: Tuple[int, int, int], patch, stride) -> Array:
     return grid.reshape(-1, 3).astype(jnp.int32)
 
 
-def _occlude(image: Array, origin: Array, patch, fill: float) -> Array:
-    """Fill a [pd, ph, pw] window at `origin` with `fill` ([1,1,D,H,W] image)."""
+def _occlude(image: Array, origin: Array, patch, fill: float,
+             is_baseline=None) -> Array:
+    """Fill a [pd, ph, pw] window at `origin` with `fill` ([1,1,D,H,W] image).
+    With is_baseline=True the window is re-filled with the image's OWN
+    content (a no-op), so the baseline score runs through the exact same
+    compiled program as every masked forward."""
     block = jnp.full((1, 1) + tuple(patch), fill, image.dtype)
+    if is_baseline is not None:
+        own = jax.lax.dynamic_slice(
+            image, (0, 0, origin[0], origin[1], origin[2]),
+            (1, 1) + tuple(patch))
+        block = jnp.where(is_baseline, own, block)
     return jax.lax.dynamic_update_slice(
         image, block, (0, 0, origin[0], origin[1], origin[2]))
 
 
-@partial(jax.jit, static_argnames=("cfg", "occ", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast"))
 def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
                      text_latent: Array, coords: Array, *,
                      occ: OcclusionConfig = OcclusionConfig(),
-                     chunk: int = 8) -> Tuple[Array, Array]:
+                     chunk: int = 8, fast: bool = False) -> Tuple[Array, Array]:
     """(original_score, per-window occluded scores [N]).
 
     `text_latent` is the fixed [dim_latent] prompt/report/diff-embedding
     latent; score = <image_latent, text_latent> * exp(temperature), the
-    sim[0, 0] the reference reads per forward (visualizations.py:375,388)."""
-    from .capture import parity_cfg
-    cfg = parity_cfg(cfg)  # bit-stable embed: scores are differenced at 1e-2
+    sim[0, 0] the reference reads per forward (visualizations.py:375,388).
+
+    The baseline score is computed through the SAME chunked program as the
+    masked forwards (a no-op window), so importances are internally
+    consistent regardless of lowering. fast=True keeps the conv patch-embed
+    (higher throughput; still internally consistent); fast=False (default)
+    uses the bit-stable matmul embed for exact serial-reference parity."""
+    if not fast:
+        from .capture import parity_cfg
+        cfg = parity_cfg(cfg)
     temp = jnp.exp(params["temperature"])
     txt = text_latent.astype(jnp.float32)
 
@@ -74,19 +90,24 @@ def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
         lat, _ = encode_image_latents(params, cfg, img, freeze_vq=True)
         return (lat[0].astype(jnp.float32) @ txt) * temp
 
-    original = score_of(image)
-
-    def chunk_scores(origins):
-        def one(origin):
-            return score_of(_occlude(image, origin, occ.patch_size,
-                                     occ.fill_value))
-        return jax.vmap(one)(origins)
-
     n = coords.shape[0]
-    pad = (-n) % chunk
-    coords_p = jnp.pad(coords, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
-    scores = jax.lax.map(chunk_scores, coords_p).reshape(-1)[:n]
-    return original, scores
+    # entry 0 is the baseline (no-op occlusion at the first window origin)
+    coords_all = jnp.concatenate([coords[:1], coords], axis=0)
+    is_base = jnp.zeros((n + 1,), bool).at[0].set(True)
+
+    pad = (-(n + 1)) % chunk
+    coords_p = jnp.pad(coords_all, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    base_p = jnp.pad(is_base, (0, pad)).reshape(-1, chunk)
+
+    def chunk_scores(args):
+        origins, base_flags = args
+        def one(origin, flag):
+            return score_of(_occlude(image, origin, occ.patch_size,
+                                     occ.fill_value, is_baseline=flag))
+        return jax.vmap(one)(origins, base_flags)
+
+    scores = jax.lax.map(chunk_scores, (coords_p, base_p)).reshape(-1)
+    return scores[0], scores[1:n + 1]
 
 
 def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
@@ -115,7 +136,7 @@ def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
 def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
                       text_latent: Array, *,
                       occ: OcclusionConfig = OcclusionConfig(),
-                      chunk: int = 8):
+                      chunk: int = 8, fast: bool = False):
     """[D, H, W] numpy heatmap (pre-rot90): importance = relu(orig - occluded)
     accumulated over windows, count-normalized, min-max scaled, thresholded
     (reference visualizations.py:379-424). Scores run on device; assembly is
@@ -128,7 +149,8 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
         for dim, p, s in zip((D, H, W), occ.patch_size, occ.stride))
 
     original, scores = occlusion_scores(
-        params, cfg, image, text_latent, coords, occ=occ, chunk=chunk)
+        params, cfg, image, text_latent, coords, occ=occ, chunk=chunk,
+        fast=fast)
     importance = np.maximum(float(original) - np.asarray(scores, np.float64),
                             0.0)
 

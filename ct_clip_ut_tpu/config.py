@@ -84,6 +84,10 @@ class TransformerConfig:
     has_cross_attn: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    # rematerialize each layer in backward (jax.checkpoint): trades ~1/3 more
+    # FLOPs for O(depth) -> O(1) activation memory — the TPU answer to the
+    # reference's fp16-autocast memory ceiling
+    remat: bool = False
 
     def self_attn(self) -> AttentionConfig:
         return AttentionConfig(
@@ -131,6 +135,7 @@ class CTViTConfig:
     # Attribution paths — where scores are DIFFERENCED at 1e-2 scale — use
     # the bit-stable matmul formulation (attribution/capture.parity_cfg).
     patch_embed_conv: bool = True
+    remat: bool = False  # per-layer remat in the encoders (training memory)
 
     @property
     def patch_height(self) -> int:
@@ -152,13 +157,15 @@ class CTViTConfig:
         return TransformerConfig(
             dim=self.dim, depth=self.spatial_depth, dim_head=self.dim_head,
             heads=self.heads, attn_dropout=self.attn_dropout,
-            ff_dropout=self.ff_dropout, peg=True, peg_causal=True)
+            ff_dropout=self.ff_dropout, peg=True, peg_causal=True,
+            remat=self.remat)
 
     def temporal_transformer(self) -> TransformerConfig:
         return TransformerConfig(
             dim=self.dim, depth=self.temporal_depth, dim_head=self.dim_head,
             heads=self.heads, attn_dropout=self.attn_dropout,
-            ff_dropout=self.ff_dropout, peg=True, peg_causal=True)
+            ff_dropout=self.ff_dropout, peg=True, peg_causal=True,
+            remat=self.remat)
 
 
 @dataclass(frozen=True)

@@ -99,11 +99,13 @@ def _patch_embed_conv(p, image: Array, patch: int, t_patch: int,
     k2d = wg.reshape(c, t_patch, patch, patch, dim)
     k2d = k2d.transpose(2, 3, 0, 1, 4).reshape(patch, patch, c * t_patch, dim)
 
+    # no preferred_element_type: mixed fwd/bwd dtypes break the conv
+    # transpose rule; TPU convs accumulate fp32 internally regardless
     conv = jax.lax.conv_general_dilated(
         x2d, k2d.astype(image.dtype),
         window_strides=(patch, patch), padding="VALID",
         dimension_numbers=("NCHW", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)                  # [b*t, h, w, dim]
+        ).astype(jnp.float32)                                # [b*t, h, w, dim]
 
     x32 = x2d.astype(jnp.float32)
     window = (1, c * t_patch, patch, patch)

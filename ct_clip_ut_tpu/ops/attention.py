@@ -113,7 +113,7 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
             k.reshape(b * h, mkv, cfg.dim_head),
             v.reshape(b * h, mkv, cfg.dim_head),
             params["q_scale"], params["k_scale"],
-            attn_bias, heads=h, scale=cfg.scale)
+            attn_bias, h, cfg.scale, False)
         out = out.reshape(b, h, n, cfg.dim_head).transpose(0, 2, 1, 3)
         out = out.reshape(b, n, cfg.inner_dim)
         return AttentionOutput(linear(params["to_out"], out), None)

@@ -162,7 +162,6 @@ def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
         padding=(frame_pad, (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         feature_group_count=dim,
-        preferred_element_type=jnp.float32,
     )
-    out = out + params["b"]
+    out = out.astype(jnp.float32) + params["b"]
     return out.astype(x.dtype).reshape(orig_shape)

@@ -55,14 +55,32 @@ def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, bias_ref, o_ref, *,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("heads", "scale", "interpret"))
+def _xla_reference(q, k, v, q_scale, k_scale, bias, heads, scale):
+    """Pure-XLA twin of the kernel math (used for the backward pass)."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+    kn = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+    qn = qn * (q_scale.astype(jnp.float32) * scale)
+    kn = kn * k_scale.astype(jnp.float32)
+    s = jnp.einsum("bnd,bmd->bnm", qn, kn, preferred_element_type=jnp.float32)
+    if bias is not None:
+        bh = q.shape[0]
+        b = bh // heads
+        s = s + jnp.tile(bias.astype(jnp.float32), (b, 1, 1))
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bnm,bmd->bnd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def cosine_attention_fused(q: Array, k: Array, v: Array,
                            q_scale: Array, k_scale: Array,
-                           bias: Optional[Array] = None, *,
+                           bias: Optional[Array],
                            heads: int, scale: float = 8.0,
                            interpret: bool = False) -> Array:
-    """Fused cosine attention.
+    """Fused cosine attention (Pallas forward; XLA-recompute backward).
 
     Args:
       q: [BH, N, D] (batch*heads flattened, head-major within batch).
@@ -71,6 +89,43 @@ def cosine_attention_fused(q: Array, k: Array, v: Array,
       bias: optional [heads, N, M] additive bias (shared across batch).
     Returns [BH, N, D] in q.dtype.
     """
+    return _forward_impl(q, k, v, q_scale, k_scale, bias,
+                         heads=heads, scale=scale, interpret=interpret)
+
+
+def _fused_fwd(q, k, v, q_scale, k_scale, bias, heads, scale, interpret):
+    out = _forward_impl(q, k, v, q_scale, k_scale, bias,
+                        heads=heads, scale=scale, interpret=interpret)
+    return out, (q, k, v, q_scale, k_scale, bias)
+
+
+def _fused_bwd(heads, scale, interpret, residuals, g):
+    q, k, v, q_scale, k_scale, bias = residuals
+    diff_args = (q, k, v, q_scale, k_scale) + ((bias,) if bias is not None else ())
+
+    def f(*args):
+        if bias is not None:
+            *xs, b = args
+            return _xla_reference(*xs, b, heads, scale)
+        return _xla_reference(*args, None, heads, scale)
+
+    _, vjp = jax.vjp(f, *diff_args)
+    grads = vjp(g)
+    if bias is None:
+        grads = grads + (None,)
+    return grads
+
+
+cosine_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret"))
+def _forward_impl(q: Array, k: Array, v: Array,
+                  q_scale: Array, k_scale: Array,
+                  bias: Optional[Array] = None, *,
+                  heads: int, scale: float = 8.0,
+                  interpret: bool = False) -> Array:
     bh, n, d = q.shape
     m = k.shape[1]
     has_bias = bias is not None

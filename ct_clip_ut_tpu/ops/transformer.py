@@ -65,6 +65,39 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
     self_weights = []
     cross_weights = []
 
+    # per-layer remat for training (no weight/tap outputs to preserve)
+    use_remat = (cfg.remat and not return_weights and taps is NULL_TAPS
+                 and taps.capture_all is False)
+
+    def plain_layer(layer, x, r_attn, r_cross, r_ff):
+        if cfg.peg:
+            x = peg(layer["peg"], x, video_shape, causal=cfg.peg_causal) + x
+        attn_out, _ = attention(
+            layer["self_attn"], cfg.self_attn(), x,
+            attn_bias=attn_bias, mask=self_attn_mask, return_weights=False,
+            rng=r_attn, deterministic=deterministic)
+        x = attn_out + x
+        if cfg.has_cross_attn and context is not None:
+            cross_out, _ = attention(
+                layer["cross_attn"], cfg.cross_attn(), x, context=context,
+                mask=cross_attn_context_mask, return_weights=False,
+                rng=r_cross, deterministic=deterministic)
+            x = cross_out + x
+        ff_out = feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
+                             rng=r_ff, deterministic=deterministic)
+        return ff_out + x
+
+    if use_remat:
+        remat_layer = jax.checkpoint(plain_layer,
+                                     static_argnums=())
+        for layer in params["layers"]:
+            if rng is not None:
+                rng, r_attn, r_cross, r_ff = jax.random.split(rng, 4)
+            else:
+                r_attn = r_cross = r_ff = None
+            x = remat_layer(layer, x, r_attn, r_cross, r_ff)
+        return layernorm(params["norm_out"], x), TransformerAux(None, None)
+
     for i, layer in enumerate(params["layers"]):
         if cfg.peg:
             x = peg(layer["peg"], x, video_shape, causal=cfg.peg_causal) + x

@@ -51,7 +51,11 @@ def _nearest(embed: Array, flat: Array, chunk: int = 2048) -> Array:
     n = flat.shape[0]
     if jax.default_backend() == "tpu" and embed.shape[0] % 1024 == 0:
         from .pallas_vq import vq_nearest_pallas
-        return vq_nearest_pallas(flat, embed, tc=min(2048, embed.shape[0]))
+        # indices are integers (no tangents); stop_gradient keeps the Pallas
+        # call out of the autodiff graph when the model is differentiated
+        return vq_nearest_pallas(jax.lax.stop_gradient(flat),
+                                 jax.lax.stop_gradient(embed),
+                                 tc=min(2048, embed.shape[0]))
 
     pad = (-n) % chunk
     flat_p = jnp.pad(flat, ((0, pad), (0, 0)))

@@ -164,9 +164,17 @@ class CTClipTrainer:
         return out
 
     def _put_batch(self, images, texts):
-        images = sharding.shard_batch(jnp.asarray(images), self.mesh)
-        tokens = {k: sharding.shard_batch(v, self.mesh)
-                  for k, v in self.tokenize(texts).items()}
+        images = jnp.asarray(images)
+        if images.shape[0] % self.mesh.shape["data"] == 0:
+            put = lambda v: sharding.shard_batch(v, self.mesh)
+        else:  # batch not divisible by the data axis: replicate
+            if not getattr(self, "_warned_replicate", False):
+                print(f"batch {images.shape[0]} not divisible by data axis "
+                      f"{self.mesh.shape['data']}; replicating batches")
+                self._warned_replicate = True
+            put = lambda v: jax.device_put(v, sharding.replicated(self.mesh))
+        images = put(images)
+        tokens = {k: put(v) for k, v in self.tokenize(texts).items()}
         return images, tokens
 
     def save_model(self, name: str):

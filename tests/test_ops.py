@@ -187,6 +187,25 @@ def test_transformer_returns_weights_and_residual_wiring():
     np.testing.assert_allclose(np.asarray(aux.self_attn[0]).sum(-1), 1.0, atol=1e-5)
 
 
+def test_transformer_remat_matches_plain():
+    from ct_clip_ut_tpu.config import replace
+    cfg = TransformerConfig(dim=16, depth=2, dim_head=4, heads=4,
+                            peg=True, peg_causal=True)
+    p = transformer.init_transformer(KEY, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 12, 16))
+    out_plain, _ = transformer.transformer(p, cfg, x, video_shape=(2, 3, 2, 2))
+    out_remat, _ = transformer.transformer(p, replace(cfg, remat=True), x,
+                                           video_shape=(2, 3, 2, 2))
+    np.testing.assert_allclose(np.asarray(out_remat), np.asarray(out_plain),
+                               atol=1e-6)
+    # grads agree too
+    g1 = jax.grad(lambda x: transformer.transformer(
+        p, cfg, x, video_shape=(2, 3, 2, 2))[0].sum())(x)
+    g2 = jax.grad(lambda x: transformer.transformer(
+        p, replace(cfg, remat=True), x, video_shape=(2, 3, 2, 2))[0].sum())(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+
+
 def test_transformer_taps_capture_and_inject():
     from ct_clip_ut_tpu.ops.taps import Taps
     cfg = TransformerConfig(dim=8, depth=2, dim_head=4, heads=2)

@@ -40,7 +40,7 @@ def test_pallas_attention_matches_xla(with_bias):
 
     out = cosine_attention_fused(heads(q), heads(k), heads(v),
                                  p["q_scale"], p["k_scale"], bias,
-                                 heads=4, scale=cfg.scale, interpret=True)
+                                 4, cfg.scale, True)
     out = out.reshape(b, 4, n, 16).transpose(0, 2, 1, 3).reshape(b, n, 64)
     out = linear(p["to_out"], out)
 

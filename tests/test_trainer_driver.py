@@ -1,0 +1,81 @@
+"""CTClipTrainer host-driver loop end-to-end on fabricated data."""
+
+import numpy as np
+
+import jax
+
+from ct_clip_ut_tpu.config import (BertConfig, CTCLIPConfig, CTViTConfig,
+                                   TrainConfig)
+from ct_clip_ut_tpu.train.trainer import CTClipTrainer
+
+SMALL_BERT = BertConfig(vocab_size=256, hidden_size=32, num_layers=1,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=32)
+SMALL_VIT = CTViTConfig(dim=16, codebook_size=32, image_size=32, patch_size=8,
+                        temporal_patch_size=10, spatial_depth=1,
+                        temporal_depth=1, dim_head=4, heads=4)
+SMALL_CLIP = CTCLIPConfig(dim_text=32, dim_image=4 * 4 * 16, dim_latent=8,
+                          ctvit=SMALL_VIT, bert=SMALL_BERT)
+
+
+class HashTokenizer:
+    def __call__(self, texts, return_tensors="np", padding="max_length",
+                 truncation=True, max_length=32):
+        texts = [texts] if isinstance(texts, str) else list(texts)
+        max_length = min(max_length, 16)
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros_like(ids)
+        for i, t in enumerate(texts):
+            toks = [1] + [hash(w) % 200 + 5 for w in t.split()][:max_length - 2] + [2]
+            ids[i, :len(toks)] = np.asarray(toks) % 256
+            mask[i, :len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+class FakeBatches:
+    """Re-iterable: yields (images, texts) batches."""
+
+    def __init__(self, n_batches, b, with_labels=False, seed=0):
+        self.n = n_batches
+        self.b = b
+        self.with_labels = with_labels
+        self.seed = seed
+
+    def __iter__(self):
+        rs = np.random.RandomState(self.seed)
+        for i in range(self.n):
+            images = rs.randn(self.b, 1, 20, 32, 32).astype(np.float32)
+            texts = [f"report {i} sample {j} effusion" for j in range(self.b)]
+            if self.with_labels:
+                yield images, texts, rs.randint(0, 2, (self.b, 18)), ["n"] * self.b
+            else:
+                yield images, texts
+
+
+def test_trainer_driver_two_epochs(tmp_path):
+    cfg = TrainConfig(lr=1e-3, num_epochs=2, compute_dtype="float32",
+                      save_best_model=True, text_max_length=16)
+    trainer = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                            FakeBatches(3, 2), FakeBatches(2, 2, with_labels=True),
+                            results_folder=tmp_path)
+    state = trainer.train()
+    assert int(state.step) == 6  # 3 batches x 2 epochs
+    assert len(trainer.valid_losses) == 3  # bootstrap eval + 2 epochs
+    assert all(np.isfinite(v) for v in trainer.valid_losses)
+    # best checkpoint written
+    ckpts = list(tmp_path.rglob("best_checkpoint.msgpack"))
+    assert ckpts
+    # training progress plot rendered
+    assert list(tmp_path.rglob("training_progress.png"))
+
+    # resume: load back and continue one step
+    trainer2 = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                             FakeBatches(1, 2), FakeBatches(1, 2, with_labels=True),
+                             results_folder=tmp_path)
+    trainer2.load_model(ckpts[0])
+    s = trainer2.state
+    assert int(s.step) >= 0  # restored state is usable
+    images, texts = next(iter(FakeBatches(1, 2)))
+    img, tok = trainer2._put_batch(images, texts)
+    new_state, loss = trainer2.train_step(s, img, tok)
+    assert np.isfinite(float(loss))
