@@ -114,10 +114,15 @@ def shiftmax(v: Array, eps: float = 1e-8) -> Array:
     return (v - v.min()) / (v.max() + eps)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("target_shape",))
 def upsample_to(volume: Array, target_shape) -> Array:
     """Trilinear (align_corners=False) upsample of a [D, H, W] volume
-    (reference _upsample, visualizations.py:289-293)."""
-    return jax.image.resize(volume.astype(jnp.float32), target_shape,
+    (reference _upsample, visualizations.py:289-293). Jitted — eager
+    dispatch of the resize gather chain costs seconds through the relay."""
+    return jax.image.resize(volume.astype(jnp.float32), tuple(target_shape),
                             method="trilinear")
 
 

@@ -9,6 +9,10 @@ TPU re-design: the reference loops 50 sequential full backward passes with
 empty_cache between them (visualizations.py:861-876); here the alpha axis is
 data — `lax.map` over chunked vmapped VJPs, one compiled program, no host
 round-trips. fp32 throughout.
+
+chunk=1 default at flagship scale: the bit-stable patch-embed's backward
+materializes a tile-padded 9-d patchify cotangent (~1.6 GB per lane on a
+240x480x480 volume), so wider chunks trade HBM for little gain.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ Array = jax.Array
 def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
                          *, text_embeds: Optional[Array] = None,
                          baseline_value: float = 1.0, steps: int = 50,
-                         chunk: int = 5,
+                         chunk: int = 1,
                          quantile: float = 0.90,
                          contrast: float = 0.05) -> Array:
     """[D, H, W] IG saliency (pre-rot90), batch-1 image [1, 1, D, H, W]."""
@@ -45,14 +49,20 @@ def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
 
     grad_fn = jax.grad(score)
 
-    def grads_for(alpha_chunk):
-        return jax.vmap(lambda a: grad_fn(baseline + a * diff))(alpha_chunk)
-
+    # running-sum accumulation: stacking all `steps` full-volume gradients
+    # would be steps * 221 MB fp32 (11 GB at flagship scale)
     pad = (-steps) % chunk
     alphas_p = jnp.pad(alphas, (0, pad)).reshape(-1, chunk)
-    grads = jax.lax.map(grads_for, alphas_p)      # [n_chunks, chunk, 1,1,D,H,W]
-    grads = grads.reshape(-1, *image.shape)[:steps]
-    avg_grads = grads.mean(axis=0)
+    weights_p = jnp.pad(jnp.ones((steps,)), (0, pad)).reshape(-1, chunk)
+
+    def step(acc, xs):
+        alpha_chunk, w_chunk = xs
+        g = jax.vmap(lambda a: grad_fn(baseline + a * diff))(alpha_chunk)
+        return acc + jnp.tensordot(w_chunk, g, axes=1), None
+
+    sum_grads, _ = jax.lax.scan(step, jnp.zeros_like(image),
+                                (alphas_p, weights_p))
+    avg_grads = sum_grads / steps
 
     ig = jax.nn.relu((diff * avg_grads)[0, 0])    # [D, H, W]
 

@@ -103,6 +103,7 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
         use_pallas = (not return_weights and mask is None and not cfg.causal
                       and cfg.num_null_kv == 0
                       and (deterministic or cfg.dropout == 0.0)
+                      and q.shape[2] >= 128  # short seqs batch better in XLA
                       and _pallas_ok())
     if use_pallas:
         from .pallas_attention import cosine_attention_fused

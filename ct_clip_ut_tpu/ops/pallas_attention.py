@@ -27,32 +27,33 @@ Array = jax.Array
 
 
 def _kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, bias_ref, o_ref, *,
-            scale: float, has_bias: bool):
-    q = q_ref[0].astype(jnp.float32)                     # [N, D]
-    k = k_ref[0].astype(jnp.float32)                     # [M, D]
-    v = v_ref[0]                                         # [M, D]
+            scale: float, has_bias: bool, block_bh: int):
+    qs = qs_ref[0].astype(jnp.float32) * scale           # fold fixed scale
+    ks = ks_ref[0].astype(jnp.float32)
 
-    # l2norm rows (torch F.normalize: x / max(||x||, 1e-12))
-    qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    kn = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True))
-    q = q / jnp.maximum(qn, 1e-12)
-    k = k / jnp.maximum(kn, 1e-12)
+    for i in range(block_bh):
+        q = q_ref[i].astype(jnp.float32)                 # [N, D]
+        k = k_ref[i].astype(jnp.float32)                 # [M, D]
+        v = v_ref[i]                                     # [M, D]
 
-    q = q * (qs_ref[0].astype(jnp.float32) * scale)      # fold fixed scale
-    k = k * ks_ref[0].astype(jnp.float32)
+        # l2norm rows (torch F.normalize: x / max(||x||, 1e-12))
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+        kn = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True))
+        q = q / jnp.maximum(qn, 1e-12) * qs
+        k = k / jnp.maximum(kn, 1e-12) * ks
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [N, M]
-    if has_bias:
-        s = s + bias_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [N, M]
+        if has_bias:
+            s = s + bias_ref[i].astype(jnp.float32)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[i] = o.astype(o_ref.dtype)
 
 
 def _xla_reference(q, k, v, q_scale, k_scale, bias, heads, scale):
@@ -129,32 +130,45 @@ def _forward_impl(q: Array, k: Array, v: Array,
     bh, n, d = q.shape
     m = k.shape[1]
     has_bias = bias is not None
+
+    # block multiple (batch, head) rows per program, bounded by a VMEM
+    # budget for the fp32 scores + q/k/v/o tiles (~4 MB). With a bias the
+    # block must tile the heads axis (bias indexing needs h-aligned blocks);
+    # without one (e.g. the temporal transformer: 18k tiny 24x24 programs)
+    # any divisor of bh works, so the block can span batch rows too.
+    budget = int(4e6 // max(n * m * 4 + 4 * n * d * 4, 1))
+    cap = heads if has_bias else min(bh, 32)  # python-unrolled in-kernel loop
+    block_bh = max(1, min(cap, bh, budget))
+    while (has_bias and heads % block_bh) or bh % block_bh:
+        block_bh -= 1
+
     if bias is None:
         bias = jnp.zeros((1, 1, 1), jnp.float32)
 
     qs = jnp.broadcast_to(q_scale.astype(jnp.float32), (1, d))
     ks = jnp.broadcast_to(k_scale.astype(jnp.float32), (1, d))
 
-    grid = (bh,)
-    bias_block = (1, n, m) if has_bias else (1, 1, 1)
-    bias_index = ((lambda i: (i % heads, 0, 0)) if has_bias
-                  else (lambda i: (0, 0, 0)))
+    grid = (bh // block_bh,)
+    bias_block = (block_bh, n, m) if has_bias else (1, 1, 1)
+    bias_index = ((lambda i: ((i * block_bh) % heads // block_bh, 0, 0))
+                  if has_bias else (lambda i: (0, 0, 0)))
 
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, has_bias=has_bias),
+        functools.partial(_kernel, scale=scale, has_bias=has_bias,
+                          block_bh=block_bh),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_bh, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_bh, m, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_bh, m, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_block, bias_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_bh, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         cost_estimate=pl.CostEstimate(
