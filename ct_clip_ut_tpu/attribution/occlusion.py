@@ -83,6 +83,9 @@ def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
     if not fast:
         from .capture import parity_cfg
         cfg = parity_cfg(cfg)
+        # the bit-stable matmul embed normalizes [n, patch_dim] in fp32
+        # (221 MB per lane at flagship shapes) — cap the vmap width
+        chunk = min(chunk, 2)
     temp = jnp.exp(params["temperature"])
     txt = text_latent.astype(jnp.float32)
 

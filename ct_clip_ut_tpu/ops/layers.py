@@ -104,12 +104,30 @@ def init_feedforward(key, dim: int, inner_dim: int):
 
 
 def feedforward(params, x: Array, *, dropout_rate: float = 0.0,
-                rng: Optional[Array] = None, deterministic: bool = True) -> Array:
+                rng: Optional[Array] = None, deterministic: bool = True,
+                use_pallas: Optional[bool] = None) -> Array:
     """LN -> Linear(dim, 2*inner) -> GEGLU -> (dropout) -> Linear(inner, dim).
 
     GEGLU splits the doubled projection into (value, gate) halves and returns
     gelu(gate) * value — exact (erf) gelu, matching torch F.gelu
-    (reference attention.py:38-41)."""
+    (reference attention.py:38-41). On TPU (no dropout) the whole block runs
+    as one fused Pallas kernel (ops/pallas_ff.py)."""
+    if use_pallas is None:
+        import jax as _jax
+        use_pallas = ((deterministic or dropout_rate == 0.0)
+                      and _jax.default_backend() == "tpu" and x.ndim == 3)
+    if use_pallas:
+        from .pallas_ff import geglu_ff_fused
+        b, n, d = x.shape
+        w = params["proj_in"]["w"]
+        inner = w.shape[1] // 2
+        out = geglu_ff_fused(
+            x.reshape(b * n, d),
+            params["norm"]["gamma"], params["norm"]["beta"],
+            w[:, :inner].astype(x.dtype), w[:, inner:].astype(x.dtype),
+            params["proj_out"]["w"].astype(x.dtype))
+        return out.reshape(b, n, d)
+
     h = layernorm(params["norm"], x)
     h = linear(params["proj_in"], h)
     value, gate = jnp.split(h, 2, axis=-1)

@@ -47,6 +47,31 @@ def test_pallas_attention_matches_xla(with_bias):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_pallas_ff_matches_xla():
+    from ct_clip_ut_tpu.ops import layers as L
+    dim, inner = 64, int(4 * 2 / 3 * 64)
+    p = L.init_feedforward(KEY, dim, inner)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, dim))
+    ref = L.feedforward(p, x, use_pallas=False)
+
+    from ct_clip_ut_tpu.ops.pallas_ff import geglu_ff_fused
+    w = p["proj_in"]["w"]
+    got = geglu_ff_fused(x.reshape(-1, dim), p["norm"]["gamma"],
+                         p["norm"]["beta"], w[:, :inner], w[:, inner:],
+                         p["proj_out"]["w"], True).reshape(2, 10, dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # grads flow through the custom VJP
+    def loss(x):
+        return (geglu_ff_fused(x, p["norm"]["gamma"], p["norm"]["beta"],
+                               w[:, :inner], w[:, inner:],
+                               p["proj_out"]["w"], True) ** 2).sum()
+    g = jax.grad(loss)(x.reshape(-1, dim))
+    g_ref = jax.grad(lambda x: (L.feedforward(
+        p, x.reshape(2, 10, dim), use_pallas=False) ** 2).sum())(x.reshape(-1, dim))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
 def test_pallas_vq_matches_argmax():
     d, c = 32, 2048
     codebook = l2norm(jax.random.normal(KEY, (c, d)))
