@@ -64,7 +64,7 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
     mg = maskgit_apply(
         params["maskgit"], cfg.maskgit, ids, text_embed,
         video_patch_shape, text_mask=text_mask, video_mask=token_mask,
-        return_embeds=return_embeds)
+        return_embeds=return_embeds, weights="last_cross")
 
     # last layer's cross-attention; drop the null-KV columns so text token
     # indices address text positions

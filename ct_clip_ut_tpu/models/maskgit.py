@@ -51,9 +51,15 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
                   text_mask: Optional[Array] = None,
                   video_mask: Optional[Array] = None,
                   return_embeds: bool = False,
+                  weights: str = "all",
                   rng=None, deterministic: bool = True) -> MaskGitOutput:
     """Args mirror reference maskgit.py:40-56: flattened ids [b, n], T5
-    context [b, text_len, dim_context], and the (t, h, w) token grid shape."""
+    context [b, text_len, dim_context], and the (t, h, w) token grid shape.
+
+    weights: "all" returns every layer's self+cross attention; "last_cross"
+    captures only the final layer's cross-attention (what CTGenerate's
+    keyword heatmaps consume) — at the 101x8x8-token flagship grid, all-layer
+    fp32 weights are ~8 GB, so selective capture matters."""
     b, n = ct_codebook_ids.shape
 
     x = jnp.take(params["token_emb"], ct_codebook_ids, axis=0)
@@ -67,14 +73,28 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     attn_bias = continuous_pos_bias(
         params["continuous_pos_bias"], *video_patch_shape)  # [heads, n, n]
 
-    out, aux = transformer(
-        params["transformer"], cfg.transformer(), x,
-        video_shape=(b, *video_patch_shape),
-        attn_bias=attn_bias, context=context,
-        self_attn_mask=video_mask, cross_attn_context_mask=text_mask,
-        return_weights=True, rng=rng, deterministic=deterministic)
+    if weights == "last_cross":
+        from ..ops.taps import Taps
+        taps = Taps(capture={f"{cfg.depth - 1}.cross_attn_weights"})
+        out, _ = transformer(
+            params["transformer"], cfg.transformer(), x,
+            video_shape=(b, *video_patch_shape),
+            attn_bias=attn_bias, context=context,
+            self_attn_mask=video_mask, cross_attn_context_mask=text_mask,
+            return_weights=False, taps=taps, rng=rng,
+            deterministic=deterministic)
+        cross = (taps.collected[f"{cfg.depth - 1}.cross_attn_weights"],)
+        self_attn = ()
+    else:
+        out, aux = transformer(
+            params["transformer"], cfg.transformer(), x,
+            video_shape=(b, *video_patch_shape),
+            attn_bias=attn_bias, context=context,
+            self_attn_mask=video_mask, cross_attn_context_mask=text_mask,
+            return_weights=True, rng=rng, deterministic=deterministic)
+        cross = aux.cross_attn
+        self_attn = aux.self_attn
 
     if not return_embeds:
         out = linear(params["to_logits"], out)
-    return MaskGitOutput(output=out, self_attn=aux.self_attn,
-                         cross_attn=aux.cross_attn)
+    return MaskGitOutput(output=out, self_attn=self_attn, cross_attn=cross)

@@ -100,10 +100,12 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
     # fused Pallas fast path: inference (no weights requested), no padding
     # mask, non-causal, no null kv — i.e. the CT-ViT encoder hot loop
     if use_pallas is None:
+        n_, m_ = q.shape[2], k.shape[2]
         use_pallas = (not return_weights and mask is None and not cfg.causal
                       and cfg.num_null_kv == 0
                       and (deterministic or cfg.dropout == 0.0)
-                      and q.shape[2] >= 128  # short seqs batch better in XLA
+                      and n_ >= 128        # short seqs batch better in XLA
+                      and n_ * m_ * 4 <= 4 * 1024 * 1024  # scores fit VMEM
                       and _pallas_ok())
     if use_pallas:
         from .pallas_attention import cosine_attention_fused

@@ -58,23 +58,55 @@ def init_continuous_pos_bias(key, dim: int, heads: int, num_dims: int = 2,
     return {"net": net}
 
 
-def continuous_pos_bias(params, *dimensions: int, log_dist: bool = True) -> Array:
-    """[heads, N, N] bias for an N = prod(dimensions) token grid
-    (reference attention.py:258-277). Computed in fp32."""
-    positions = [jnp.arange(d, dtype=jnp.float32) for d in dimensions]
-    grid = jnp.stack(jnp.meshgrid(*positions, indexing="ij"), axis=-1)
-    grid = grid.reshape(-1, len(dimensions))                      # [N, C]
-    rel = grid[:, None, :] - grid[None, :, :]                     # [N, N, C]
+def _cpb_mlp(params, rel: Array, log_dist: bool) -> Array:
     if log_dist:
         rel = jnp.sign(rel) * jnp.log(jnp.abs(rel) + 1.0)
-
     h = rel
     n_layers = len(params["net"])
     for idx, layer_p in enumerate(params["net"]):
         h = linear(layer_p, h)
         if idx < n_layers - 1:  # LeakyReLU(0.1) after all but the last
             h = jnp.where(h >= 0, h, 0.1 * h)
-    return jnp.transpose(h, (2, 0, 1))  # [heads, N, N]
+    return h
+
+
+def continuous_pos_bias(params, *dimensions: int, log_dist: bool = True) -> Array:
+    """[heads, N, N] bias for an N = prod(dimensions) token grid
+    (reference attention.py:258-277). Computed in fp32.
+
+    The MLP runs over the DISTINCT relative offsets — prod(2d - 1) values —
+    and the [N, N] table is a gather. The reference evaluates the MLP on
+    all N^2 pairs (attention.py:262-277), which at MaskGit's 101x8x8 grid
+    would materialize a [6464, 6464, hidden] fp32 intermediate (~10 GB);
+    the factored form is exact and bounded by the offset table."""
+    dims = tuple(int(d) for d in dimensions)
+    c = len(dims)
+
+    # distinct offsets per axis: [-(d-1), ..., d-1]
+    offset_axes = [jnp.arange(-(d - 1), d, dtype=jnp.float32) for d in dims]
+    off_grid = jnp.stack(jnp.meshgrid(*offset_axes, indexing="ij"), axis=-1)
+    off_flat = off_grid.reshape(-1, c)                     # [O, C]
+    table = _cpb_mlp(params, off_flat, log_dist)           # [O, heads]
+
+    # index[i, j] = flat offset id of (pos_i - pos_j)
+    pos_axes = [jnp.arange(d, dtype=jnp.int32) for d in dims]
+    pos = jnp.stack(jnp.meshgrid(*pos_axes, indexing="ij"), axis=-1).reshape(-1, c)
+    rel_idx = pos[:, None, :] - pos[None, :, :]            # [N, N, C]
+    strides = []
+    s = 1
+    for d in reversed(dims):
+        strides.insert(0, s)
+        s *= 2 * d - 1
+    flat_idx = jnp.zeros(rel_idx.shape[:2], jnp.int32)
+    for ax, d in enumerate(dims):
+        flat_idx = flat_idx + (rel_idx[..., ax] + (d - 1)) * strides[ax]
+
+    # gather PER HEAD: a single [N*N, heads] gather output gets lane-padded
+    # heads -> 128 on TPU (21 GB at MaskGit's 6464-token grid); per-head
+    # [N, N] gathers keep the lane dim wide
+    heads = table.shape[-1]
+    return jnp.stack([jnp.take(table[:, h], flat_idx, axis=0)
+                      for h in range(heads)])              # [heads, N, N]
 
 
 def causal_mask(i: int, j: int) -> Array:

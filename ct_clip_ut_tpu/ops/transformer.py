@@ -120,12 +120,15 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
         x = attn_out + x
 
         if cfg.has_cross_attn and context is not None:
+            want_cw = return_weights or taps.wants(f"{scope}{i}.cross_attn_weights")
             cross_out, cw = attention(
                 layer["cross_attn"], cfg.cross_attn(), x,
                 context=context, mask=cross_attn_context_mask,
-                return_weights=return_weights, rng=r_cross,
+                return_weights=want_cw, rng=r_cross,
                 deterministic=deterministic)
             cross_out = taps.tap(f"{scope}{i}.cross_attn_out", cross_out)
+            if cw is not None:
+                cw = taps.tap(f"{scope}{i}.cross_attn_weights", cw)
             if return_weights:
                 cross_weights.append(cw)
             x = cross_out + x
