@@ -31,8 +31,8 @@ from ct_clip_ut_tpu.models.ctclip import (ctclip_apply, encode_text_latents,
                                           init_ctclip)
 
 N_PATHOLOGIES = 18
-BATCH = 8
-STEPS = 4
+BATCH = 16
+STEPS = 3
 REF_SCANS = 1  # scans to time for the (slow) reference algorithm
 
 

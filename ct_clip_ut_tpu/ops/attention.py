@@ -80,6 +80,30 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
     b = x.shape[0]
     h = cfg.heads
 
+    # fully-fused block kernel: LN + QKV + cosine attention + out projection
+    # in one VMEM-resident pass (self-attention inference hot path)
+    if use_pallas is None and context is None and mask is None:
+        n_ = x.shape[1]
+        if (not return_weights and not cfg.causal and cfg.num_null_kv == 0
+                and (deterministic or cfg.dropout == 0.0)
+                and n_ >= 128 and n_ * n_ * 4 <= 4 * 1024 * 1024
+                and _pallas_ok()):
+            from .pallas_attn_block import attention_block_fused
+            d = cfg.dim
+            dh = cfg.dim_head
+            wq = params["to_q"]["w"].reshape(d, h, dh).transpose(1, 0, 2)
+            wkv = params["to_kv"]["w"]
+            wk = wkv[:, :h * dh].reshape(d, h, dh).transpose(1, 0, 2)
+            wv = wkv[:, h * dh:].reshape(d, h, dh).transpose(1, 0, 2)
+            wo = params["to_out"]["w"].reshape(h, dh, d)
+            dt = x.dtype
+            out = attention_block_fused(
+                x, params["norm"]["gamma"],
+                wq.astype(dt), wk.astype(dt), wv.astype(dt), wo.astype(dt),
+                params["q_scale"], params["k_scale"], attn_bias, cfg.scale,
+                False)
+            return AttentionOutput(out, None)
+
     if context is not None and cfg.norm_context:
         context = layernorm(params["context_norm"], context)
     # NOTE: for self-attention k/v come from the PRE-norm x — the reference

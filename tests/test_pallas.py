@@ -72,6 +72,44 @@ def test_pallas_ff_matches_xla():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
 
 
+def test_pallas_attention_block_matches_xla():
+    from ct_clip_ut_tpu.ops.pallas_attn_block import (attention_block_fused,
+                                                      _xla_reference_block)
+    cfg = AttentionConfig(dim=32, dim_head=8, heads=4)
+    p = A.init_attention(KEY, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 32))
+    bias = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 16))
+
+    ref, _ = A.attention(p, cfg, x, attn_bias=bias, return_weights=False,
+                         use_pallas=False)
+    # the block kernel includes the to_out projection (pre-residual output)
+    d, h, dh = 32, 4, 8
+    wq = p["to_q"]["w"].reshape(d, h, dh).transpose(1, 0, 2)
+    wk = p["to_kv"]["w"][:, :h * dh].reshape(d, h, dh).transpose(1, 0, 2)
+    wv = p["to_kv"]["w"][:, h * dh:].reshape(d, h, dh).transpose(1, 0, 2)
+    wo = p["to_out"]["w"].reshape(h, dh, d)
+    got = attention_block_fused(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                p["q_scale"], p["k_scale"], bias,
+                                cfg.scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # the XLA twin used for backward matches too
+    twin = _xla_reference_block(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                p["q_scale"], p["k_scale"], bias, cfg.scale)
+    np.testing.assert_allclose(np.asarray(twin), np.asarray(ref), atol=2e-5)
+
+    # grads through the custom VJP match the plain XLA path
+    def loss_fused(x):
+        return (attention_block_fused(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                      p["q_scale"], p["k_scale"], bias,
+                                      cfg.scale, True) ** 2).sum()
+    def loss_ref(x):
+        return (A.attention(p, cfg, x, attn_bias=bias, return_weights=False,
+                            use_pallas=False)[0] ** 2).sum()
+    g1 = jax.grad(loss_fused)(x)
+    g2 = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
 def test_pallas_vq_matches_argmax():
     d, c = 32, 2048
     codebook = l2norm(jax.random.normal(KEY, (c, d)))
