@@ -170,6 +170,82 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
     return heat.astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast"))
+def occlusion_scores_multi(params, cfg: CTCLIPConfig, image: Array,
+                           text_latents: Array, coords: Array, *,
+                           occ: OcclusionConfig = OcclusionConfig(),
+                           chunk: int = 8, fast: bool = False
+                           ) -> Tuple[Array, Array]:
+    """Multi-pathology sweep: (original_scores [K], scores [N, K]).
+
+    The per-window image latent does not depend on the text, so ONE masked
+    forward scores every pathology at once. The reference's text-embeds mode
+    re-runs the full 12,167-forward sweep per positive pathology
+    (visualizations.py:1037-1044) — this is K x cheaper with identical
+    numbers."""
+    if not fast:
+        from .capture import parity_cfg
+        cfg = parity_cfg(cfg)
+        chunk = min(chunk, 2)
+    temp = jnp.exp(params["temperature"])
+    txt = text_latents.astype(jnp.float32)               # [K, L]
+
+    def latent_of(img):
+        lat, _ = encode_image_latents(params, cfg, img, freeze_vq=True)
+        return lat[0].astype(jnp.float32)
+
+    n = coords.shape[0]
+    coords_all = jnp.concatenate([coords[:1], coords], axis=0)
+    is_base = jnp.zeros((n + 1,), bool).at[0].set(True)
+    pad = (-(n + 1)) % chunk
+    coords_p = jnp.pad(coords_all, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    base_p = jnp.pad(is_base, (0, pad)).reshape(-1, chunk)
+
+    def chunk_scores(args):
+        origins, base_flags = args
+        def one(origin, flag):
+            lat = latent_of(_occlude(image, origin, occ.patch_size,
+                                     occ.fill_value, is_baseline=flag))
+            return (lat @ txt.T) * temp                  # [K]
+        return jax.vmap(one)(origins, base_flags)
+
+    scores = jax.lax.map(chunk_scores, (coords_p, base_p)).reshape(-1, txt.shape[0])
+    return scores[0], scores[1:n + 1]
+
+
+def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,
+                             text_latents: Array, *,
+                             occ: OcclusionConfig = OcclusionConfig(),
+                             chunk: int = 8, fast: bool = False):
+    """K [D, H, W] numpy heatmaps from ONE window sweep (see
+    occlusion_scores_multi)."""
+    import numpy as np
+    D, H, W = image.shape[-3:]
+    coords = window_grid((D, H, W), occ.patch_size, occ.stride)
+    grid_shape = tuple((dim - p) // s + 1
+                       for dim, p, s in zip((D, H, W), occ.patch_size,
+                                            occ.stride))
+    originals, scores = occlusion_scores_multi(
+        params, cfg, image, text_latents, coords, occ=occ, chunk=chunk,
+        fast=fast)
+    originals = np.asarray(originals, np.float64)        # [K]
+    scores = np.asarray(scores, np.float64)              # [N, K]
+
+    count = _window_sum_to_voxels(np.ones(scores.shape[0]), grid_shape,
+                                  (D, H, W), occ.patch_size, occ.stride)
+    count[count == 0] = 1.0
+
+    heatmaps = []
+    for k in range(scores.shape[1]):
+        importance = np.maximum(originals[k] - scores[:, k], 0.0)
+        heat = _window_sum_to_voxels(importance, grid_shape, (D, H, W),
+                                     occ.patch_size, occ.stride) / count
+        heat = (heat - heat.min()) / (heat.max() - heat.min() + 1e-8)
+        heat[heat < occ.threshold] = 0.0
+        heatmaps.append(heat.astype(np.float32))
+    return heatmaps
+
+
 def occlusion_scores_sharded(params, cfg: CTCLIPConfig, image: Array,
                              text_latent: Array, coords: Array, mesh, *,
                              occ: OcclusionConfig = OcclusionConfig(),

@@ -132,16 +132,19 @@ class Visualizations:
                 raise ValueError("use_text_embeds requires ctx.diff_embeds")
             positives = [p for p, l in zip(self.ctx.pathologies,
                                            np.asarray(labels).tolist())
-                         if l == 1.0]
-            heatmaps = {}
-            for pathology in positives:
-                embed = jnp.asarray(self.ctx.diff_embeds[pathology],
-                                    jnp.float32)
-                latent = occ_mod.diff_embedding_latent(
-                    self.ctx.params, self.ctx.cfg, embed)
-                heat = occ_mod.occlusion_heatmap(
-                    self.ctx.params, self.ctx.cfg, image, latent, occ=occ)
-                heatmaps[pathology] = rot90_ct(heat)
+                         if l == 1.0 and p in self.ctx.diff_embeds]
+            if not positives:
+                return {}
+            # one window sweep scores ALL positive pathologies (the
+            # reference re-sweeps per pathology, visualizations.py:1037-1044)
+            latents = jnp.stack([
+                occ_mod.diff_embedding_latent(
+                    self.ctx.params, self.ctx.cfg,
+                    jnp.asarray(self.ctx.diff_embeds[p], jnp.float32))
+                for p in positives])
+            heats = occ_mod.occlusion_heatmaps_multi(
+                self.ctx.params, self.ctx.cfg, image, latents, occ=occ)
+            heatmaps = {p: rot90_ct(h) for p, h in zip(positives, heats)}
             np.save(out / (f"{scan_name}_{occ.patch_size}_{occ.stride}_"
                            f"{prompt}_heatmaps.npy"), heatmaps)  # dict, like ref
             if self.ctx.render_gifs:

@@ -224,6 +224,23 @@ def test_occlusion_matches_serial_reference(setup):
     np.testing.assert_allclose(np.asarray(got), heat, atol=1e-4)
 
 
+def test_occlusion_multi_matches_singles(setup):
+    """One multi-pathology sweep == K independent single sweeps."""
+    params, tokens, image = setup
+    occ = OcclusionConfig(patch_size=(10, 16, 16), stride=(10, 16, 16))
+    latents = jnp.stack([
+        occ_mod.report_text_latent(params, SMALL_CLIP, tokens),
+        occ_mod.diff_embedding_latent(
+            params, SMALL_CLIP, jax.random.normal(jax.random.PRNGKey(3), (32,))),
+    ])
+    multi = occ_mod.occlusion_heatmaps_multi(params, SMALL_CLIP, image,
+                                             latents, occ=occ, chunk=4)
+    for k in range(2):
+        single = occ_mod.occlusion_heatmap(params, SMALL_CLIP, image,
+                                           latents[k], occ=occ, chunk=4)
+        np.testing.assert_allclose(multi[k], single, atol=1e-5)
+
+
 def test_occlusion_diff_embed_latent_matches_bypass(setup):
     params, tokens, image = setup
     embed = jax.random.normal(jax.random.PRNGKey(7), (32,))

@@ -126,6 +126,33 @@ def test_attribution_gif_rendering(fake_env, tmp_path):
     assert all(g.stat().st_size > 1000 for g in gifs)
 
 
+def test_occlusion_text_embeds_suite_path(fake_env, tmp_path):
+    """use_text_embeds mode: one sweep over all positive pathologies
+    (reference visualizations.py:1037-1044 re-sweeps per pathology)."""
+    from ct_clip_ut_tpu.config import PATHOLOGIES
+    tmp, ds, params = fake_env
+    rs = np.random.RandomState(3)
+    diff_embeds = {p: rs.randn(32).astype(np.float32) for p in PATHOLOGIES}
+    ctx = AttributionContext(
+        params=params, cfg=SMALL_CLIP, tokenizer=HashTokenizer(),
+        data=[ds[0]], render_gifs=False, text_max_length=16,
+        diff_embeds=diff_embeds)
+    vis = Visualizations(ctx, tmp_path / "results")
+    image, text, labels, name, path = ds[0]
+    occ = OcclusionConfig(patch_size=(8, 16, 16), stride=(8, 16, 16))
+    heatmaps = vis.occlusion(
+        np.asarray(image)[None], vis._tokenize(text), labels, name, path,
+        occ=occ, use_text_embeds=True)
+    positives = [p for p, l in zip(PATHOLOGIES, labels.tolist()) if l == 1.0]
+    assert set(heatmaps) == set(positives) and positives
+    for h in heatmaps.values():
+        assert h.shape == tuple(np.asarray(image).squeeze().shape)
+        assert np.isfinite(h).all()
+    # artifact dict written like the reference (allow_pickle dict .npy)
+    saved = list((tmp_path / "results" / "occlusion").rglob("*_heatmaps.npy"))
+    assert saved
+
+
 def test_diff_embedding_pipeline(fake_env, tmp_path):
     from ct_clip_ut_tpu.attribution.embedding_arithmetic import (
         compute_diff_embeddings, load_diff_embeddings, save_diff_embeddings)
