@@ -30,9 +30,11 @@ from ct_clip_ut_tpu.infer.zeroshot import zeroshot_probs
 from ct_clip_ut_tpu.models.ctclip import (ctclip_apply, encode_text_latents,
                                           init_ctclip)
 
+import os
+
 N_PATHOLOGIES = 18
-BATCH = 16
-STEPS = 3
+BATCH = int(os.environ.get("CTCLIP_BENCH_BATCH", "16"))
+STEPS = int(os.environ.get("CTCLIP_BENCH_STEPS", "3"))
 REF_SCANS = 1  # scans to time for the (slow) reference algorithm
 
 

@@ -1,0 +1,65 @@
+"""CLI entry points: parsers accept the documented flags (no model build)."""
+
+import pytest
+
+from ct_clip_ut_tpu.scripts import (analyze_dataset, convert_checkpoint,
+                                    embedding_arithmetic, inference_ctclip,
+                                    inference_ctgenerate, train_ctclip)
+
+
+def test_train_parser():
+    args = train_ctclip.build_parser().parse_args([
+        "--data-train", "/d/t", "--data-valid", "/d/v",
+        "--train-reports", "r.csv", "--valid-reports", "v.csv",
+        "--valid-labels", "l.csv", "--train-metadata", "m.csv",
+        "--valid-metadata", "vm.csv", "--batch-size", "8",
+        "--num-epochs", "15", "--save-best-model"])
+    assert args.batch_size == 8 and args.save_best_model
+    assert args.lr == 1.25e-5 and args.wd == 0.0  # reference defaults
+
+
+def test_inference_parser():
+    args = inference_ctclip.build_parser().parse_args([
+        "--data-valid", "/d/v", "--valid-reports", "v.csv",
+        "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
+        "--checkpoint", "ck.pt", "--zero-shot",
+        "--visualize", "occlusion", "grad_cam"])
+    assert args.zero_shot and args.visualize == ["occlusion", "grad_cam"]
+
+
+def test_inference_parser_rejects_unknown_method():
+    with pytest.raises(SystemExit):
+        inference_ctclip.build_parser().parse_args([
+            "--data-valid", "v", "--valid-reports", "r", "--valid-labels", "l",
+            "--valid-metadata", "m", "--checkpoint", "c",
+            "--visualize", "not_a_method"])
+
+
+def test_ctgenerate_parser():
+    args = inference_ctgenerate.build_parser().parse_args([
+        "--data-valid", "/d", "--valid-reports", "r.csv",
+        "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
+        "--checkpoint", "g.pt"])
+    assert args.num_valid_samples == 1  # reference default
+
+
+def test_embedding_arithmetic_parser():
+    args = embedding_arithmetic.build_parser().parse_args([
+        "--reports", "r.csv", "--labels", "l.csv", "--checkpoint", "c.pt"])
+    assert args.out.endswith("pathology_diff_embeddings.npy")
+
+
+def test_analyze_dataset_on_reference_labels(tmp_path):
+    import pandas as pd
+    names = ["a.nii.gz", "b.nii.gz"]
+    df = pd.DataFrame({"VolumeName": names, "p0": [1, 0], "p1": [1, 1]})
+    df.to_csv(tmp_path / "labels.csv", index=False)
+    pd.DataFrame({"VolumeName": names,
+                  "Findings_EN": ["clear lungs", "effusion noted"],
+                  "Impressions_EN": ["ok", "followup"]}).to_csv(
+        tmp_path / "reports.csv", index=False)
+    stats = analyze_dataset.analyze(tmp_path / "labels.csv",
+                                    tmp_path / "reports.csv")
+    assert stats["num_volumes"] == 2
+    assert stats["label_prevalence"]["p1"] == 1.0
+    assert stats["num_reports"] == 4
