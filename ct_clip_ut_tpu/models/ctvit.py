@@ -82,38 +82,52 @@ def _patch_embed_conv(p, image: Array, patch: int, t_patch: int,
     w = p["proj"]["w"].astype(jnp.float32)                   # [patch_dim, dim]
 
     wg = (w * gamma[:, None]).reshape(c, t_patch, patch, patch, dim)
-    kernel = wg.transpose(1, 2, 3, 0, 4)                     # DHWIO
     s1 = (w * gamma[:, None]).sum(axis=0)                    # [dim]
     bias = beta @ w + p["proj"].get("b", jnp.zeros((dim,))).astype(jnp.float32)
 
-    # Temporal patches don't overlap, so the 3D conv factorizes into a 2D
-    # conv with (c * t_patch) input channels: [b*t, c*pt, H, W]. This avoids
-    # both the 8-d patchify transpose and any singleton-channel layout (XLA
-    # lane-pads those 1 -> 128 on TPU: a 28 GB copy at flagship shapes).
+    # Temporal patches don't overlap, so the 3D conv factorizes into a 1D
+    # conv over W with (c * t_patch * p1) = 200 input channels after folding
+    # the H-within-patch rows into channels. Layout rules this respects
+    # (violations are 6.4x tile-padding blowups at flagship shapes, see
+    # tools/bench_patch_embed.py):
+    #   * no singleton-channel arrays (lane-pad 1 -> 128);
+    #   * no array may have a minor dim of `patch`=20 (T(8,128) tiling pads
+    #     20 -> 128) — so never patchify/transpose into [.., 20] shapes;
+    #   * the only transpose keeps W=480 minor ([.., 10, 24, 20, 480] ->
+    #     [.., 24, 200, 480]).
     t = T // t_patch
-    x2d = image.reshape(b, c, t, t_patch, H, W)
-    x2d = x2d.transpose(0, 2, 1, 3, 4, 5).reshape(b * t, c * t_patch, H, W)
+    hp, wp = H // patch, W // patch
+    cin = c * t_patch * patch
+    x1d = image.reshape(b, c, t, t_patch, hp, patch, W)
+    x1d = x1d.transpose(0, 2, 4, 1, 3, 5, 6).reshape(b * t * hp, cin, W)
 
-    # kernel rows are ordered (c, pt, p1, p2); as a 2D conv the input channel
-    # axis is (c, pt) flattened -> HWIO kernel [p1, p2, c*pt, dim]
-    k2d = wg.reshape(c, t_patch, patch, patch, dim)
-    k2d = k2d.transpose(2, 3, 0, 1, 4).reshape(patch, patch, c * t_patch, dim)
+    # kernel rows ordered (c, pt, p1, p2) -> [width p2, in (c, pt, p1), dim]
+    k1d = wg.reshape(cin, patch, dim).transpose(1, 0, 2)
 
     # no preferred_element_type: mixed fwd/bwd dtypes break the conv
     # transpose rule; TPU convs accumulate fp32 internally regardless
     conv = jax.lax.conv_general_dilated(
-        x2d, k2d.astype(image.dtype),
-        window_strides=(patch, patch), padding="VALID",
+        x1d[:, :, None, :], k1d[None].astype(image.dtype),
+        window_strides=(1, patch), padding="VALID",
         dimension_numbers=("NCHW", "HWIO", "NHWC"),
-        ).astype(jnp.float32)                                # [b*t, h, w, dim]
+        ).astype(jnp.float32)                          # [b*t*h, 1, w, dim]
+    conv = conv.reshape(b * t, hp, wp, dim)
 
-    x32 = x2d.astype(jnp.float32)
-    window = (1, c * t_patch, patch, patch)
-    strides = (1, c * t_patch, patch, patch)
-    sum1 = jax.lax.reduce_window(x32, 0.0, jax.lax.add, window, strides,
-                                 "VALID")[:, 0]              # [b*t, h, w]
-    sum2 = jax.lax.reduce_window(x32 * x32, 0.0, jax.lax.add, window,
-                                 strides, "VALID")[:, 0]
+    # per-patch moments via a window->patch incidence matmul over W plus a
+    # plain reduction over the folded (c, pt, p1) channel axis — 7x faster
+    # than the former reduce_window pair (tools/bench_moments.py). HIGHEST
+    # keeps the f32 contraction off the bf16x3 MXU decomposition.
+    inc = jnp.kron(jnp.eye(wp, dtype=jnp.float32),
+                   jnp.ones((patch, 1), jnp.float32))  # [W, w]
+    x32 = x1d.astype(jnp.float32)
+    sum1 = jax.lax.dot_general(
+        x32.sum(axis=1), inc, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)           # [b*t*h, w]
+    sum2 = jax.lax.dot_general(
+        (x32 * x32).sum(axis=1), inc, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    sum1 = sum1.reshape(b * t, hp, wp)
+    sum2 = sum2.reshape(b * t, hp, wp)
     mean = (sum1 / patch_dim)[..., None]
     var = jnp.maximum((sum2 / patch_dim)[..., None] - mean * mean, 0.0)
 

@@ -84,10 +84,27 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
     # in one VMEM-resident pass (self-attention inference hot path)
     if use_pallas is None and context is None and mask is None:
         n_ = x.shape[1]
-        if (not return_weights and not cfg.causal and cfg.num_null_kv == 0
-                and (deterministic or cfg.dropout == 0.0)
-                and n_ >= 128 and n_ * n_ * 4 <= 4 * 1024 * 1024
-                and _pallas_ok()):
+        fusable = (not return_weights and not cfg.causal
+                   and cfg.num_null_kv == 0
+                   and (deterministic or cfg.dropout == 0.0) and _pallas_ok())
+        # short sequences (the temporal transformer's t=24): head-packed
+        # fused block — one [n*h, n*h] masked attention per sequence instead
+        # of h tiny [n, n] matmuls (ops/pallas_attn_packed.py)
+        if (fusable and attn_bias is None and n_ < 128
+                and n_ * h <= 1024 and x.shape[0] % 2 == 0):
+            from .pallas_attn_packed import attention_block_packed
+            wkv = params["to_kv"]["w"]
+            dt = x.dtype
+            out = attention_block_packed(
+                x, params["norm"]["gamma"],
+                params["to_q"]["w"].astype(dt),
+                wkv[:, :cfg.inner_dim].astype(dt),
+                wkv[:, cfg.inner_dim:].astype(dt),
+                params["to_out"]["w"].astype(dt),
+                params["q_scale"], params["k_scale"], cfg.scale, False)
+            return AttentionOutput(out, None)
+        if (fusable
+                and n_ >= 128 and n_ * n_ * 4 <= 4 * 1024 * 1024):
             from .pallas_attn_block import attention_block_fused
             d = cfg.dim
             dh = cfg.dim_head

@@ -1,0 +1,214 @@
+"""Fused attention block for SHORT sequences via head-packing.
+
+The temporal transformer attends over t=24 tokens (reference ctvit.py:99-101,
+attention.py:126-182): per-head [24, 24] score matrices with a 32-wide
+contraction map terribly onto the 128x128 MXU (24-lane outputs, 73k tiny
+matmuls at flagship shapes — measured ~13 TF/s).
+
+TPU re-design: pack (token, head) pairs into ONE axis of length n*h (= 192)
+— row (i*h + head) holds head `head` of token i. Then
+
+  * scores = Q_packed @ K_packed^T is a single [192, 192] matmul per
+    sequence whose off-head-diagonal entries are masked to -inf;
+  * softmax over the masked rows equals the per-head softmax exactly
+    (masked lanes contribute exp(-inf) = 0);
+  * PV = P @ V_packed is again one [192, 192] @ [192, 32] matmul — the
+    zero-masked probabilities kill cross-head terms.
+
+Both packings are FREE reshapes of the [n, h*d] projection layout, and all
+matmuls get >= 128 rows/lanes. The Pallas kernel fuses the whole block
+(pre-norm LN, full-width QKV from the pre-norm input, packed cosine
+attention, output projection) with everything VMEM-resident; several
+sequences are blocked per program so projection matmuls see big row counts.
+
+Backward = XLA recompute via custom VJP (the packed XLA twin below).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -3.4028234663852886e38
+
+
+def _head_mask(n: int, heads: int) -> Array:
+    """[n*h, n*h] additive mask: 0 where row-head == col-head, -inf else."""
+    m = n * heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) % heads
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) % heads
+    return jnp.where(row == col, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _kernel(x_ref, gamma_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+            qs_ref, ks_ref, o_ref, acc_scr, *,
+            scale: float, heads: int, n: int):
+    """R sequences of n tokens form one [m = R*n]-row pseudo-sequence; per
+    head, scores are ONE [m, m] matmul with a block-diagonal same-sequence
+    mask (off-diagonal exp(-inf) terms vanish, so softmax/PV equal the
+    per-sequence results exactly). Everything stays 2-D — Mosaic has no
+    lane<->sublane shape casts to lower."""
+    r, _, d = x_ref.shape                           # [R, n, D]
+    dh = qs_ref.shape[-1]
+    m = r * n
+
+    x = x_ref[:].reshape(m, d)                       # major-dim merge: free
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    xn = (x32 - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    xn = (xn * gamma_ref[0]).astype(x.dtype)
+
+    # full-width projections: [m, D] @ [D, h*dh] (k/v from PRE-norm x,
+    # reference attention.py:138-140)
+    q = jnp.dot(xn, wq_ref[:], preferred_element_type=jnp.float32)
+    k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
+
+    # same-sequence block-diagonal mask (additive)
+    seq_row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // n
+    seq_col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // n
+    neg = jnp.where(seq_row == seq_col, 0.0, NEG_INF).astype(jnp.float32)
+
+    qs = qs_ref[0].astype(jnp.float32) * scale
+    ks = ks_ref[0].astype(jnp.float32)
+
+    for h in range(heads):                            # static unroll
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        qh = qh / jnp.maximum(
+            jnp.sqrt(jnp.sum(qh * qh, axis=-1, keepdims=True)), 1e-12) * qs
+        kh = kh / jnp.maximum(
+            jnp.sqrt(jnp.sum(kh * kh, axis=-1, keepdims=True)), 1e-12) * ks
+
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) + neg
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        acc_scr[:, sl] = jax.lax.dot_general(
+            p.astype(x.dtype), vh.astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = jnp.dot(acc_scr[:].astype(x.dtype), wo_ref[:],
+                  preferred_element_type=jnp.float32)
+    o_ref[:] = out.reshape(r, n, d).astype(o_ref.dtype)
+
+
+def packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale: float):
+    """Packed XLA twin (backward path + off-TPU forward). Weight layouts:
+    wq/wk/wv [D, h*dh] (column blocks per head), wo [h*dh, D]."""
+    b, n, d = x.shape
+    hd = wq.shape[1]
+    dh = qs.shape[-1]
+    heads = hd // dh
+
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    xn = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * gamma).astype(x.dtype)
+
+    q = (xn @ wq.astype(x.dtype)).reshape(b, n * heads, dh)
+    k = (x @ wk.astype(x.dtype)).reshape(b, n * heads, dh)
+    v = (x @ wv.astype(x.dtype)).reshape(b, n * heads, dh)
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+    kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+    qf = qf * (qs.astype(jnp.float32) * scale)
+    kf = kf * ks.astype(jnp.float32)
+
+    s = jnp.einsum("bid,bjd->bij", qf, kf,
+                   preferred_element_type=jnp.float32)
+    s = s + _head_mask(n, heads)[None]
+    p = jax.nn.softmax(s, axis=-1)
+
+    o = jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.reshape(b, n, heads * dh)
+    return (o @ wo.astype(x.dtype)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def attention_block_packed(x, gamma, wq, wk, wv, wo, qs, ks,
+                           scale: float = 8.0, interpret: bool = False):
+    """Fused short-sequence attention block. x: [B, n, D]; gamma: [D];
+    wq/wk/wv: [D, h*dh]; wo: [h*dh, D]; qs/ks: [dh].
+    Returns [B, n, D] pre-residual block output."""
+    return _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret)
+
+
+def _fwd(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
+    out = _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret)
+    return out, (x, gamma, wq, wk, wv, wo, qs, ks)
+
+
+def _bwd(scale, interpret, res, g):
+    x, gamma, wq, wk, wv, wo, qs, ks = res
+    _, vjp = jax.vjp(
+        lambda *a: packed_attention_xla(*a, scale), x, gamma, wq, wk, wv,
+        wo, qs, ks)
+    return vjp(g)
+
+
+attention_block_packed.defvjp(_fwd, _bwd)
+
+
+def _pick_rows(b: int, vmem_rows: int = 8) -> int:
+    for r in (vmem_rows, 4, 2):
+        if b % r == 0:
+            return r
+    return 1
+
+
+_USE_KERNEL = True
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
+    b, n, d = x.shape
+    hd = wq.shape[1]
+    dh = qs.shape[-1]
+    heads = hd // dh
+
+    if (jax.default_backend() != "tpu" or not _USE_KERNEL) and not interpret:
+        return packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale)
+
+    r = _pick_rows(b)
+    gamma2 = gamma.astype(jnp.float32).reshape(1, d)
+    qs2 = qs.astype(jnp.float32).reshape(1, dh)
+    ks2 = ks.astype(jnp.float32).reshape(1, dh)
+
+    m = n * heads
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, heads=heads, n=n),
+        grid=(b // r,),
+        in_specs=[
+            pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((r * n, hd), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (3 * n * d * hd + 2 * m * m * dh + n * hd * d),
+            bytes_accessed=x.size * 2 * x.dtype.itemsize,
+            transcendentals=b * m * m),
+        interpret=interpret,
+    )(x, gamma2, wq, wk, wv, wo, qs2, ks2)

@@ -110,6 +110,44 @@ def test_pallas_attention_block_matches_xla():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
 
 
+def test_pallas_attention_packed_matches_xla():
+    from ct_clip_ut_tpu.ops.pallas_attn_packed import (
+        attention_block_packed, packed_attention_xla)
+    cfg = AttentionConfig(dim=32, dim_head=8, heads=4)
+    p = A.init_attention(KEY, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 12, 32))  # short seq
+
+    ref, _ = A.attention(p, cfg, x, return_weights=False, use_pallas=False)
+    wq = p["to_q"]["w"]
+    wk = p["to_kv"]["w"][:, :32]
+    wv = p["to_kv"]["w"][:, 32:]
+    wo = p["to_out"]["w"]
+
+    # XLA twin (backward / off-TPU forward path)
+    twin = packed_attention_xla(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                p["q_scale"], p["k_scale"], cfg.scale)
+    np.testing.assert_allclose(np.asarray(twin), np.asarray(ref), atol=2e-5)
+
+    # kernel (interpret mode)
+    got = attention_block_packed(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                 p["q_scale"], p["k_scale"], cfg.scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # grads through the custom VJP match the plain per-head path
+    def loss_fused(x):
+        return (attention_block_packed(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                       p["q_scale"], p["k_scale"], cfg.scale,
+                                       True) ** 2).sum()
+
+    def loss_ref(x):
+        return (A.attention(p, cfg, x, return_weights=False,
+                            use_pallas=False)[0] ** 2).sum()
+
+    g1 = jax.grad(loss_fused)(x)
+    g2 = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
 def test_pallas_vq_matches_argmax():
     d, c = 32, 2048
     codebook = l2norm(jax.random.normal(KEY, (c, d)))
