@@ -82,6 +82,35 @@ def zeroshot_probs(params, cfg: CTCLIPConfig, image: Array,
     return jax.nn.softmax(pair, axis=-1)[..., 0]
 
 
+def zeroshot_probs_sharded(params, cfg: CTCLIPConfig, image, prompt_latents,
+                           mesh, compute_dtype: str = "bfloat16") -> Array:
+    """Mesh-sharded zero-shot scoring: the image batch shards over the
+    "data" axis and each shard runs the visual tower in parallel (the
+    reference's DDP eval — one model replica per rank over a per-rank data
+    shard, CTClipInference.py:59,79-88). Under jit/GSPMD the batch sharding
+    propagates through the whole tower, so this is the same compiled
+    program as `zeroshot_probs`, laid out over the mesh."""
+    from ..parallel import sharding
+    image = jax.device_put(jnp.asarray(image), sharding.batch_shardings(mesh))
+    params = jax.device_put(params, sharding.param_shardings(params, mesh))
+    prompt_latents = jax.device_put(prompt_latents, sharding.replicated(mesh))
+    return zeroshot_probs(params, cfg, image, prompt_latents,
+                          compute_dtype=compute_dtype)
+
+
+def gather_predictions(preds, targets):
+    """Concatenate per-process prediction/label shards across hosts — the
+    reference's accelerator.gather_for_metrics (CTClipInference.py:188).
+    No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return preds, targets
+    from jax.experimental import multihost_utils
+    preds = multihost_utils.process_allgather(jnp.asarray(preds))
+    targets = multihost_utils.process_allgather(jnp.asarray(targets))
+    return (np.asarray(preds).reshape(-1, preds.shape[-1]),
+            np.asarray(targets).reshape(-1, targets.shape[-1]))
+
+
 class CTClipInference:
     """Zero-shot + attribution driver (reference CTClipInference.py:35-223).
 
@@ -94,7 +123,8 @@ class CTClipInference:
                  pathologies: Sequence[str] = PATHOLOGIES,
                  zero_shot: bool = True,
                  visualize: Optional[dict] = None,
-                 attribution_ctx=None):
+                 attribution_ctx=None,
+                 mesh=None):
         self.params = params
         self.cfg = model_cfg
         self.tokenizer = tokenizer
@@ -103,6 +133,7 @@ class CTClipInference:
         self.zero_shot = zero_shot
         self.visualize = visualize or {}
         self.attribution_ctx = attribution_ctx
+        self.mesh = mesh  # optional jax.sharding.Mesh: DP-sharded eval
         self.metrics_history = []
 
         base = Path(results_folder) / datetime.now().strftime("%d-%m-%Y")
@@ -115,13 +146,20 @@ class CTClipInference:
 
         preds, targets = [], []
         for images, _texts, labels, *_ in self.data:
-            probs = zeroshot_probs(self.params, self.cfg,
-                                   jnp.asarray(images), prompt_latents)
+            if self.mesh is not None:
+                probs = zeroshot_probs_sharded(self.params, self.cfg, images,
+                                               prompt_latents, self.mesh)
+            else:
+                probs = zeroshot_probs(self.params, self.cfg,
+                                       jnp.asarray(images), prompt_latents)
             preds.append(np.asarray(probs))
             targets.append(np.asarray(labels))
 
         preds = np.concatenate(preds, axis=0)
         targets = np.concatenate(targets, axis=0)
+        # multi-host: concatenate every process's shard before metrics
+        # (reference gather_for_metrics, CTClipInference.py:188)
+        preds, targets = gather_predictions(preds, targets)
 
         from ..utils import metrics as M
         m = M.calculate_metrics(preds, targets, list(self.pathologies))

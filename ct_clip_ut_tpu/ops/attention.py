@@ -106,17 +106,14 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
         if (fusable
                 and n_ >= 128 and n_ * n_ * 4 <= 4 * 1024 * 1024):
             from .pallas_attn_block import attention_block_fused
-            d = cfg.dim
-            dh = cfg.dim_head
-            wq = params["to_q"]["w"].reshape(d, h, dh).transpose(1, 0, 2)
             wkv = params["to_kv"]["w"]
-            wk = wkv[:, :h * dh].reshape(d, h, dh).transpose(1, 0, 2)
-            wv = wkv[:, h * dh:].reshape(d, h, dh).transpose(1, 0, 2)
-            wo = params["to_out"]["w"].reshape(h, dh, d)
             dt = x.dtype
             out = attention_block_fused(
                 x, params["norm"]["gamma"],
-                wq.astype(dt), wk.astype(dt), wv.astype(dt), wo.astype(dt),
+                params["to_q"]["w"].astype(dt),
+                wkv[:, :cfg.inner_dim].astype(dt),
+                wkv[:, cfg.inner_dim:].astype(dt),
+                params["to_out"]["w"].astype(dt),
                 params["q_scale"], params["k_scale"], attn_bias, cfg.scale,
                 False)
             return AttentionOutput(out, None)

@@ -7,10 +7,13 @@ l2-normalization + learned scales + fixed scale, position bias, fp32
 softmax, PV, and the output projection — with all weights VMEM-resident and
 no intermediate ever written to HBM.
 
-Grid = (rows, heads): the per-row LayerNorm result and the output
-accumulator live in scratch across the head steps (TPU grids iterate the
-last dimension fastest). Per-head weight slices avoid non-128-aligned lane
-slicing in VMEM.
+Grid = (rows, heads): at the first head step the q/k/v projections run
+FULL-WIDTH ([n, D] @ [D, h*dh] — the per-head [D, 32] variant wastes 3/4 of
+the MXU lanes) into VMEM scratch; each head step lane-slices its 32-wide
+column block. Per-head PV results accumulate into an [n, h*dh] scratch whose
+single full-width output projection runs at the last head. (TPU grids
+iterate the last dimension fastest, so the scratches persist across the
+head steps of one row.)
 
 Backward = XLA recompute via custom VJP.
 """
@@ -28,36 +31,47 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(x_ref, gamma_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-            qs_ref, ks_ref, bias_ref, o_ref, xn_scr, acc_scr, *,
-            scale: float, has_bias: bool, heads: int):
+def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
+            qs_ref, ks_ref, bias_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr,
+            *, scale: float, has_bias: bool, heads: int):
+    """Scratches hold q/k/v TRANSPOSED [h*dh, n]: per-head slicing is then a
+    dynamic SUBLANE slice (any multiple of 8 is legal; dynamic LANE slices
+    must be 128-aligned, which dh=32 is not). The transposed layouts come
+    straight out of RHS-transposed dot_generals — no in-kernel transpose."""
     h = pl.program_id(1)
+    dh = qs_ref.shape[0]
 
     @pl.when(h == 0)
     def _():
-        x = x_ref[0].astype(jnp.float32)             # [N, D]
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
-        xn = (x - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
-        xn_scr[:] = (xn * gamma_ref[0]).astype(xn_scr.dtype)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        x = x_ref[0]                                  # [N, D]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+        xn = (x32 - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+        xn = (xn * gamma_ref[0]).astype(x.dtype)
+        # full-width projections ([h*dh, D] @contract-minor [N, D] -> [h*dh, N]);
+        # k/v from the PRE-norm input (reference attention.py:138-140)
+        qt_scr[:] = jax.lax.dot_general(
+            wqt_ref[:], xn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        kt_scr[:] = jax.lax.dot_general(
+            wkt_ref[:], x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vt_scr[:] = jax.lax.dot_general(
+            wvt_ref[:], x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    xn = xn_scr[:]                                    # [N, D] (normed)
-    x_raw = x_ref[0]                                  # [N, D] (pre-norm: k/v)
+    sl = pl.ds(h * dh, dh)
+    qt = qt_scr[sl, :]                                 # [dh, N] fp32
+    kt = kt_scr[sl, :]
+    vt = vt_scr[sl, :]
 
-    q = jax.lax.dot_general(xn, wq_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # [N, dh]
-    k = jax.lax.dot_general(x_raw, wk_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    v = jax.lax.dot_general(x_raw, wv_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    qn = jnp.sqrt(jnp.sum(qt * qt, axis=0, keepdims=True))
+    kn = jnp.sqrt(jnp.sum(kt * kt, axis=0, keepdims=True))
+    qt = qt / jnp.maximum(qn, 1e-12) * (qs_ref[:].astype(jnp.float32) * scale)
+    kt = kt / jnp.maximum(kn, 1e-12) * ks_ref[:].astype(jnp.float32)
 
-    qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    kn = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True))
-    q = q / jnp.maximum(qn, 1e-12) * (qs_ref[0].astype(jnp.float32) * scale)
-    k = k / jnp.maximum(kn, 1e-12) * ks_ref[0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(qt, kt, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)   # [N, N]
     if has_bias:
         s = s + bias_ref[0].astype(jnp.float32)
@@ -66,30 +80,38 @@ def _kernel(x_ref, gamma_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    o = jax.lax.dot_general(p.astype(v.dtype), v.astype(x_raw.dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # [N, dh]
-    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-        o.astype(x_raw.dtype), wo_ref[0], (((1,), (0,)), ((), ())),
+    dt = x_ref.dtype
+    # o^T[d, i] = sum_j v^T[d, j] p[i, j]
+    ot_scr[sl, :] = jax.lax.dot_general(
+        vt.astype(dt), p.astype(dt), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(h == heads - 1)
     def _():
-        o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+        out = jax.lax.dot_general(
+            ot_scr[:].astype(dt), wo_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [N, D]
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale):
-    """Pure-XLA twin (backward + tests). Weight layouts: wq/wk/wv [H, D, dh],
-    wo [H, dh, D]."""
-    heads = wq.shape[0]
+    """Pure-XLA twin (backward + tests). Weight layouts: wq/wk/wv [D, h*dh]
+    column blocks per head, wo [h*dh, D]."""
+    d = x.shape[-1]
+    dh = qs.shape[-1]
+    heads = wq.shape[1] // dh
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     xn = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * gamma).astype(x.dtype)
 
-    q = jnp.einsum("rnd,hde->rhne", xn, wq.astype(x.dtype))
-    k = jnp.einsum("rnd,hde->rhne", x, wk.astype(x.dtype))
-    v = jnp.einsum("rnd,hde->rhne", x, wv.astype(x.dtype))
+    def split(t):  # [r, n, h*dh] -> [r, h, n, dh]
+        r, n, _ = t.shape
+        return t.reshape(r, n, heads, dh).transpose(0, 2, 1, 3)
+
+    q = split(xn @ wq.astype(x.dtype))
+    k = split(x @ wk.astype(x.dtype))
+    v = split(x @ wv.astype(x.dtype))
     qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
     qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
     kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
@@ -101,14 +123,14 @@ def _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale):
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("rhnm,rhme->rhne", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    return jnp.einsum("rhne,hed->rnd", o, wo.astype(x.dtype),
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], heads * dh)
+    return (o @ wo.astype(x.dtype)).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def attention_block_fused(x, gamma, wq, wk, wv, wo, qs, ks, bias,
                           scale: float = 8.0, interpret: bool = False):
-    """x: [R, N, D]; gamma: [D]; wq/wk/wv: [H, D, dh]; wo: [H, dh, D];
+    """x: [R, N, D]; gamma: [D]; wq/wk/wv: [D, h*dh]; wo: [h*dh, D];
     qs/ks: [dh]; bias: optional [H, N, N]. Returns [R, N, D] pre-residual."""
     return _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks, bias,
                          scale=scale, interpret=interpret)
@@ -145,7 +167,9 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
                   bias: Optional[Array] = None, *,
                   scale: float = 8.0, interpret: bool = False):
     r, n, d = x.shape
-    heads, _, dh = wq.shape
+    hd = wq.shape[1]
+    dh = qs.shape[-1]
+    heads = hd // dh
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((1, 1, 1), jnp.float32)
@@ -154,8 +178,8 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
                   else (lambda i, h: (0, 0, 0)))
 
     gamma2 = gamma.astype(jnp.float32).reshape(1, d)
-    qs2 = qs.astype(jnp.float32).reshape(1, dh)
-    ks2 = ks.astype(jnp.float32).reshape(1, dh)
+    qs2 = qs.astype(jnp.float32).reshape(dh, 1)
+    ks2 = ks.astype(jnp.float32).reshape(dh, 1)
 
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale, has_bias=has_bias,
@@ -165,29 +189,31 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
             pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, dh), lambda i, h: (h, 0, 0),
+            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, dh), lambda i, h: (h, 0, 0),
+            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, dh), lambda i, h: (h, 0, 0),
+            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh, d), lambda i, h: (h, 0, 0),
+            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, 1), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, 1), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_block, bias_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, n, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, d), x.dtype),        # normed x
-            pltpu.VMEM((n, d), jnp.float32),    # output accumulator
+            pltpu.VMEM((hd, n), jnp.float32),   # q^T (full-width)
+            pltpu.VMEM((hd, n), jnp.float32),   # k^T
+            pltpu.VMEM((hd, n), jnp.float32),   # v^T
+            pltpu.VMEM((hd, n), jnp.float32),   # per-head PV^T accumulator
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * r * heads * (3 * n * d * dh + 2 * n * n * dh
-                                   + n * dh * d),
+            flops=2 * r * (3 * n * d * hd + heads * 2 * n * n * dh
+                           + n * hd * d),
             bytes_accessed=x.size * 2 * x.dtype.itemsize,
             transcendentals=r * heads * n * n),
         interpret=interpret,
-    )(x, gamma2, wq, wk, wv, wo, qs2, ks2, bias)
+    )(x, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2, bias)

@@ -46,16 +46,17 @@ def _head_mask(n: int, heads: int) -> Array:
     return jnp.where(row == col, 0.0, NEG_INF).astype(jnp.float32)
 
 
-def _kernel(x_ref, gamma_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-            qs_ref, ks_ref, o_ref, acc_scr, *,
+def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
+            qs_ref, ks_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr, *,
             scale: float, heads: int, n: int):
     """R sequences of n tokens form one [m = R*n]-row pseudo-sequence; per
     head, scores are ONE [m, m] matmul with a block-diagonal same-sequence
     mask (off-diagonal exp(-inf) terms vanish, so softmax/PV equal the
-    per-sequence results exactly). Everything stays 2-D — Mosaic has no
-    lane<->sublane shape casts to lower."""
+    per-sequence results exactly). q/k/v live TRANSPOSED [h*dh, m] in
+    scratch so per-head slicing is a static SUBLANE slice — static lane
+    slices at 32-offsets cost a lane rotation of the whole register set."""
     r, _, d = x_ref.shape                           # [R, n, D]
-    dh = qs_ref.shape[-1]
+    dh = qs_ref.shape[0]
     m = r * n
 
     x = x_ref[:].reshape(m, d)                       # major-dim merge: free
@@ -65,40 +66,46 @@ def _kernel(x_ref, gamma_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     xn = (x32 - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
     xn = (xn * gamma_ref[0]).astype(x.dtype)
 
-    # full-width projections: [m, D] @ [D, h*dh] (k/v from PRE-norm x,
-    # reference attention.py:138-140)
-    q = jnp.dot(xn, wq_ref[:], preferred_element_type=jnp.float32)
-    k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
+    # full-width transposed projections [h*dh, D] x [m, D] -> [h*dh, m]
+    # (k/v from PRE-norm x, reference attention.py:138-140)
+    qt_scr[:] = jax.lax.dot_general(wqt_ref[:], xn, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    kt_scr[:] = jax.lax.dot_general(wkt_ref[:], x, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    vt_scr[:] = jax.lax.dot_general(wvt_ref[:], x, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
 
     # same-sequence block-diagonal mask (additive)
     seq_row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // n
     seq_col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // n
     neg = jnp.where(seq_row == seq_col, 0.0, NEG_INF).astype(jnp.float32)
 
-    qs = qs_ref[0].astype(jnp.float32) * scale
-    ks = ks_ref[0].astype(jnp.float32)
+    qs = qs_ref[:].astype(jnp.float32) * scale       # [dh, 1]
+    ks = ks_ref[:].astype(jnp.float32)
+    dt = x_ref.dtype
 
     for h in range(heads):                            # static unroll
         sl = slice(h * dh, (h + 1) * dh)
-        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        qh = qh / jnp.maximum(
-            jnp.sqrt(jnp.sum(qh * qh, axis=-1, keepdims=True)), 1e-12) * qs
-        kh = kh / jnp.maximum(
-            jnp.sqrt(jnp.sum(kh * kh, axis=-1, keepdims=True)), 1e-12) * ks
+        qt, kt, vt = qt_scr[sl, :], kt_scr[sl, :], vt_scr[sl, :]  # [dh, m]
+        qt = qt / jnp.maximum(
+            jnp.sqrt(jnp.sum(qt * qt, axis=0, keepdims=True)), 1e-12) * qs
+        kt = kt / jnp.maximum(
+            jnp.sqrt(jnp.sum(kt * kt, axis=0, keepdims=True)), 1e-12) * ks
 
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(qt, kt, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) + neg
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-        acc_scr[:, sl] = jax.lax.dot_general(
-            p.astype(x.dtype), vh.astype(x.dtype), (((1,), (0,)), ((), ())),
+        # o^T[e, i] = sum_j v^T[e, j] p[i, j]
+        ot_scr[sl, :] = jax.lax.dot_general(
+            vt.astype(dt), p.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    out = jnp.dot(acc_scr[:].astype(x.dtype), wo_ref[:],
-                  preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(ot_scr[:].astype(dt), wo_ref[:],
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [m, D]
     o_ref[:] = out.reshape(r, n, d).astype(o_ref.dtype)
 
 
@@ -184,8 +191,8 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
 
     r = _pick_rows(b)
     gamma2 = gamma.astype(jnp.float32).reshape(1, d)
-    qs2 = qs.astype(jnp.float32).reshape(1, dh)
-    ks2 = ks.astype(jnp.float32).reshape(1, dh)
+    qs2 = qs.astype(jnp.float32).reshape(dh, 1)
+    ks2 = ks.astype(jnp.float32).reshape(dh, 1)
 
     m = n * heads
     return pl.pallas_call(
@@ -195,20 +202,25 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
             pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((r * n, hd), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((hd, r * n), jnp.float32),   # q^T
+            pltpu.VMEM((hd, r * n), jnp.float32),   # k^T
+            pltpu.VMEM((hd, r * n), jnp.float32),   # v^T
+            pltpu.VMEM((hd, r * n), jnp.float32),   # PV^T accumulator
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (3 * n * d * hd + 2 * m * m * dh + n * hd * d),
             bytes_accessed=x.size * 2 * x.dtype.itemsize,
             transcendentals=b * m * m),
         interpret=interpret,
-    )(x, gamma2, wq, wk, wv, wo, qs2, ks2)
+    )(x, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2)

@@ -94,7 +94,7 @@ def _forward_impl(x, gamma, beta, wv, wg, w2, *, interpret=False):
     n, dim = x.shape
     inner = wv.shape[1]
 
-    tn = 512
+    tn = 384  # best of {256, 384, 512, 768} measured at flagship shapes
     pad = (-n) % tn
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     np_ = n + pad

@@ -82,12 +82,13 @@ def test_pallas_attention_block_matches_xla():
 
     ref, _ = A.attention(p, cfg, x, attn_bias=bias, return_weights=False,
                          use_pallas=False)
-    # the block kernel includes the to_out projection (pre-residual output)
+    # the block kernel includes the to_out projection (pre-residual output);
+    # weights pass full-width: wq/wk/wv [D, h*dh], wo [h*dh, D]
     d, h, dh = 32, 4, 8
-    wq = p["to_q"]["w"].reshape(d, h, dh).transpose(1, 0, 2)
-    wk = p["to_kv"]["w"][:, :h * dh].reshape(d, h, dh).transpose(1, 0, 2)
-    wv = p["to_kv"]["w"][:, h * dh:].reshape(d, h, dh).transpose(1, 0, 2)
-    wo = p["to_out"]["w"].reshape(h, dh, d)
+    wq = p["to_q"]["w"]
+    wk = p["to_kv"]["w"][:, :h * dh]
+    wv = p["to_kv"]["w"][:, h * dh:]
+    wo = p["to_out"]["w"]
     got = attention_block_fused(x, p["norm"]["gamma"], wq, wk, wv, wo,
                                 p["q_scale"], p["k_scale"], bias,
                                 cfg.scale, True)

@@ -132,6 +132,38 @@ def test_zeroshot_hoisting_is_scoring_exact():
     np.testing.assert_allclose(np.asarray(probs)[:, :n_path], want, atol=1e-5)
 
 
+def test_zeroshot_sharded_matches_single_device():
+    """DP-sharded zero-shot scoring over the 8-device mesh == the
+    single-device batched scorer (the reference's DDP eval semantics,
+    CTClipInference.py:59,79-88)."""
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    params = ctclip_mod.init_ctclip(KEY, SMALL_CLIP)
+    image = jax.random.normal(jax.random.PRNGKey(4), (8, 1, 20, 32, 32))
+
+    rs = np.random.RandomState(0)
+    prompt_ids = jnp.asarray(rs.randint(0, 64, (6, 8)))
+    prompt_tokens = {"input_ids": prompt_ids,
+                     "attention_mask": jnp.ones_like(prompt_ids)}
+    prompt_latents = ctclip_mod.encode_text_latents(params, SMALL_CLIP,
+                                                    prompt_tokens)
+
+    single = zs.zeroshot_probs(params, SMALL_CLIP, image, prompt_latents,
+                               compute_dtype="float32")
+    sharded = zs.zeroshot_probs_sharded(params, SMALL_CLIP, image,
+                                        prompt_latents, mesh,
+                                        compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-6)
+
+    # 4x2 mesh (DP x TP) agrees too
+    mesh2 = make_mesh(MeshConfig(data=4, model=2))
+    sharded2 = zs.zeroshot_probs_sharded(params, SMALL_CLIP, image,
+                                         prompt_latents, mesh2,
+                                         compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(sharded2), np.asarray(single),
+                               atol=1e-5)
+
+
 def test_metrics_shapes():
     from ct_clip_ut_tpu.utils import metrics as M
     rs = np.random.RandomState(1)

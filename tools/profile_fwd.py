@@ -39,10 +39,12 @@ def timeit(name, fn, *args, flops=None):
     t0 = time.perf_counter()
     float(np.asarray(jfn(*args)))  # compile + run
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    times = []
     for _ in range(STEPS):
+        t0 = time.perf_counter()
         float(np.asarray(jfn(*args)))
-    dt = (time.perf_counter() - t0) / STEPS
+        times.append(time.perf_counter() - t0)
+    dt = min(times)  # relay adds several-ms jitter; min is the clean signal
     eff = f"  {flops / dt / 1e12:6.1f} TF/s" if flops else ""
     print(f"{name:34s} {dt * 1e3:9.2f} ms{eff}   (compile {compile_s:.0f}s)",
           flush=True)
