@@ -43,14 +43,19 @@ def parity_cfg(cfg: CTCLIPConfig) -> CTCLIPConfig:
 
 def similarity_score(params, cfg: CTCLIPConfig, text_tokens, image: Array,
                      text_embeds: Optional[Array] = None,
-                     taps: Taps = None, return_weights: bool = False):
+                     taps: Taps = None, return_weights: bool = False,
+                     prepatchified: bool = False):
     """Per-sample scalar similarity sim[0, 0] (batch-1 convention of the
-    attribution suite) plus the full output."""
+    attribution suite) plus the full output. prepatchified=True feeds a
+    [b, t, h, w, patch_dim] patch tensor straight into the (bit-stable
+    matmul) patch embed — the entry point for gradient methods that
+    differentiate in patch space (see ctvit.ctvit_apply)."""
     cfg = parity_cfg(cfg)
     out = ctclip_apply(params, cfg, text_tokens, image,
                        text_embeds=text_embeds, freeze_vq=True,
                        return_weights=return_weights,
-                       taps=taps if taps is not None else Taps())
+                       taps=taps if taps is not None else Taps(),
+                       prepatchified=prepatchified)
     return out.sim_matrix[0, 0], out
 
 

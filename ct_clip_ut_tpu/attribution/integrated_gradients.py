@@ -10,9 +10,14 @@ empty_cache between them (visualizations.py:861-876); here the alpha axis is
 data — `lax.map` over chunked vmapped VJPs, one compiled program, no host
 round-trips. fp32 throughout.
 
-chunk=1 default at flagship scale: the bit-stable patch-embed's backward
-materializes a tile-padded 9-d patchify cotangent (~1.6 GB per lane on a
-240x480x480 volume), so wider chunks trade HBM for little gain.
+The whole computation runs in PATCH SPACE: `patchify` is a bijective pixel
+permutation, so grad-w.r.t.-patches is exactly the permutation of
+grad-w.r.t.-image, elementwise ops (diff * grads, relu, **0.05, threshold)
+commute with it, and the global statistics (min, max, quantile) are
+permutation-invariant. Differentiating w.r.t. the patch tensor keeps the
+patchify VJP — a ~400 ms/step tile-padded 9-d transpose at flagship shapes —
+out of the loop entirely; the single inverse permutation happens once on the
+host (ctvit.unpatchify_np) on the finished [D, H, W] map.
 """
 
 from __future__ import annotations
@@ -24,27 +29,29 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CTCLIPConfig
+from ..models.ctvit import patchify, unpatchify_np
 from .capture import similarity_score
 
 Array = jax.Array
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "chunk"))
-def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
-                         *, text_embeds: Optional[Array] = None,
-                         baseline_value: float = 1.0, steps: int = 50,
-                         chunk: int = 1,
-                         quantile: float = 0.90,
-                         contrast: float = 0.05) -> Array:
-    """[D, H, W] IG saliency (pre-rot90), batch-1 image [1, 1, D, H, W]."""
+def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
+                    text_embeds: Optional[Array], baseline_value: float,
+                    steps: int, chunk: int, quantile: float,
+                    contrast: float) -> Array:
+    """[t, h, w, patch_dim] IG saliency in patch space."""
     image = image.astype(jnp.float32)
-    baseline = jnp.full_like(image, baseline_value)
-    diff = image - baseline
+    patches = patchify(image, cfg.ctvit.patch_size,
+                       cfg.ctvit.temporal_patch_size)
+    # patchify(const) == const, so the all-ones baseline is exact in patch space
+    baseline = jnp.full_like(patches, baseline_value)
+    diff = patches - baseline
     alphas = jnp.linspace(0.0, 1.0, steps)
 
-    def score(img):
-        s, _ = similarity_score(params, cfg, text_tokens, img,
-                                text_embeds=text_embeds)
+    def score(p):
+        s, _ = similarity_score(params, cfg, text_tokens, p,
+                                text_embeds=text_embeds, prepatchified=True)
         return s
 
     grad_fn = jax.grad(score)
@@ -60,11 +67,11 @@ def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
         g = jax.vmap(lambda a: grad_fn(baseline + a * diff))(alpha_chunk)
         return acc + jnp.tensordot(w_chunk, g, axes=1), None
 
-    sum_grads, _ = jax.lax.scan(step, jnp.zeros_like(image),
+    sum_grads, _ = jax.lax.scan(step, jnp.zeros_like(patches),
                                 (alphas_p, weights_p))
     avg_grads = sum_grads / steps
 
-    ig = jax.nn.relu((diff * avg_grads)[0, 0])    # [D, H, W]
+    ig = jax.nn.relu((diff * avg_grads)[0])        # [t, h, w, patch_dim]
 
     # normalization exactly as written in the reference (shift by min,
     # divide by the PRE-shift max, visualizations.py:882)
@@ -75,3 +82,16 @@ def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
     ig = ig ** contrast                            # 0**0.05 == 0
     ig = ig / (ig.max() + 1e-8)
     return ig
+
+
+def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
+                         *, text_embeds: Optional[Array] = None,
+                         baseline_value: float = 1.0, steps: int = 50,
+                         chunk: int = 5,
+                         quantile: float = 0.90,
+                         contrast: float = 0.05):
+    """[D, H, W] numpy IG saliency (pre-rot90), batch-1 image [1, 1, D, H, W]."""
+    ig_p = _ig_patch_space(params, cfg, text_tokens, image, text_embeds,
+                           baseline_value, steps, chunk, quantile, contrast)
+    return unpatchify_np(ig_p, cfg.ctvit.patch_size,
+                         cfg.ctvit.temporal_patch_size)

@@ -37,6 +37,62 @@ from ..ops.layers import l2norm, linear
 Array = jax.Array
 
 
+# ---------------------------------------------------------------------------
+# token-level masking shortcut
+# ---------------------------------------------------------------------------
+#
+# The occlusion window only changes the voxels inside it, and the patch embed
+# is strictly per-patch (LN over patch_dim -> Linear -> LN over dim,
+# ctvit._patch_embed) — so a masked forward differs from the clean forward
+# only in the <= (kd, kh, kw) block of ViT patches the window intersects
+# (2x2x2 at the flagship geometry: window 20x40x40 at stride 10x20x20 over
+# 10x20x20-voxel patches). Embedding the full 24^3 x 4000 patch tensor per
+# window is therefore redundant: embed the clean volume ONCE, and per window
+# re-embed only the intersected block and splice it into the cached clean
+# token grid. Bit-compatible with the full forward because the matmul embed
+# is per-patch and the untouched tokens are byte-identical cached values.
+# This also removes the 221 MB-per-lane patch normalization that forced
+# parity-mode chunks down to 2 (see occlusion_scores).
+
+
+def _patch_block_geometry(vol_shape, patch_q, occ_patch):
+    """Static geometry: per-axis ViT-patch block size k (max patches a window
+    can intersect) and the token-grid shape."""
+    grid = tuple(v // q for v, q in zip(vol_shape, patch_q))
+    k = tuple(min((p - 1) // q + 2, g)
+              for p, q, g in zip(occ_patch, patch_q, grid))
+    return grid, k
+
+
+def _occluded_token_block(embed_params, image, origin, patch_q, k, grid,
+                          occ_patch, fill, is_baseline, patch_embed_fn):
+    """Re-embed the ViT-patch block intersected by the window at `origin`.
+
+    Returns (block_tokens [1, kd, kh, kw, dim], block_grid_origin [3])."""
+    # block origin in patch coordinates, clamped so the static-size block
+    # stays inside the grid
+    g0 = [jnp.clip(origin[ax] // patch_q[ax], 0, grid[ax] - k[ax])
+          for ax in range(3)]
+    v0 = [g0[ax] * patch_q[ax] for ax in range(3)]
+    vol_block_shape = tuple(k[ax] * patch_q[ax] for ax in range(3))
+
+    block = jax.lax.dynamic_slice(
+        image, (0, 0, v0[0], v0[1], v0[2]), (1, 1) + vol_block_shape)
+
+    # occlude inside the block: window offset relative to the block. The
+    # window always lies inside the block by construction of g0/k.
+    off = [origin[ax] - v0[ax] for ax in range(3)]
+    fill_blk = jnp.full((1, 1) + tuple(occ_patch), fill, image.dtype)
+    own = jax.lax.dynamic_slice(block, (0, 0, off[0], off[1], off[2]),
+                                (1, 1) + tuple(occ_patch))
+    fill_blk = jnp.where(is_baseline, own, fill_blk)
+    block = jax.lax.dynamic_update_slice(block, fill_blk,
+                                         (0, 0, off[0], off[1], off[2]))
+
+    tokens = patch_embed_fn(embed_params, block)   # [1, kd, kh, kw, dim]
+    return tokens, jnp.stack([g0[0], g0[1], g0[2]])
+
+
 def window_grid(shape_dhw: Tuple[int, int, int], patch, stride) -> Array:
     """[N, 3] window origins, ordered d-major like the reference's nested
     comprehension (visualizations.py:340-349)."""
@@ -64,34 +120,47 @@ def _occlude(image: Array, origin: Array, patch, fill: float,
         image, block, (0, 0, origin[0], origin[1], origin[2]))
 
 
-@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast"))
-def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
-                     text_latent: Array, coords: Array, *,
-                     occ: OcclusionConfig = OcclusionConfig(),
-                     chunk: int = 8, fast: bool = False) -> Tuple[Array, Array]:
-    """(original_score, per-window occluded scores [N]).
+def _sweep_scores(params, cfg: CTCLIPConfig, image: Array, txt: Array,
+                  coords: Array, occ: OcclusionConfig, chunk: int,
+                  token_shortcut: bool) -> Array:
+    """Core masked-forward sweep. `txt` is [K, dim_latent]; returns
+    [N + 1, K] scores with the baseline (no-op window) at row 0, computed
+    through the SAME chunked program as every masked forward so importances
+    are internally consistent regardless of lowering."""
+    from ..models.ctclip import encode_image_latents_from_tokens
+    from ..models.ctvit import _patch_embed, patchify
 
-    `text_latent` is the fixed [dim_latent] prompt/report/diff-embedding
-    latent; score = <image_latent, text_latent> * exp(temperature), the
-    sim[0, 0] the reference reads per forward (visualizations.py:375,388).
-
-    The baseline score is computed through the SAME chunked program as the
-    masked forwards (a no-op window), so importances are internally
-    consistent regardless of lowering. fast=True keeps the conv patch-embed
-    (higher throughput; still internally consistent); fast=False (default)
-    uses the bit-stable matmul embed for exact serial-reference parity."""
-    if not fast:
-        from .capture import parity_cfg
-        cfg = parity_cfg(cfg)
-        # the bit-stable matmul embed normalizes [n, patch_dim] in fp32
-        # (221 MB per lane at flagship shapes) — cap the vmap width
-        chunk = min(chunk, 2)
     temp = jnp.exp(params["temperature"])
-    txt = text_latent.astype(jnp.float32)
+    txt = txt.astype(jnp.float32)                          # [K, L]
+    embed_params = params["visual_transformer"]["to_patch_emb"]
+    patch_q = (cfg.ctvit.temporal_patch_size,
+               cfg.ctvit.patch_size, cfg.ctvit.patch_size)
+    vol_shape = image.shape[-3:]
+    grid, kblk = _patch_block_geometry(vol_shape, patch_q, occ.patch_size)
 
-    def score_of(img):
-        lat, _ = encode_image_latents(params, cfg, img, freeze_vq=True)
-        return (lat[0].astype(jnp.float32) @ txt) * temp
+    def embed_fn(p, vol):
+        return _patch_embed(p, patchify(vol, cfg.ctvit.patch_size,
+                                        cfg.ctvit.temporal_patch_size))
+
+    if token_shortcut:
+        # clean token grid embedded ONCE with the bit-stable matmul embed
+        clean_tokens = embed_fn(embed_params, image)       # [1, t, h, w, d]
+
+        def latent_of(origin, flag):
+            blk, g0 = _occluded_token_block(
+                embed_params, image, origin, patch_q, kblk, grid,
+                occ.patch_size, occ.fill_value, flag, embed_fn)
+            tok = jax.lax.dynamic_update_slice(
+                clean_tokens, blk, (0, g0[0], g0[1], g0[2], 0))
+            lat, _ = encode_image_latents_from_tokens(params, cfg, tok,
+                                                      freeze_vq=True)
+            return lat[0].astype(jnp.float32)
+    else:
+        def latent_of(origin, flag):
+            img = _occlude(image, origin, occ.patch_size, occ.fill_value,
+                           is_baseline=flag)
+            lat, _ = encode_image_latents(params, cfg, img, freeze_vq=True)
+            return lat[0].astype(jnp.float32)
 
     n = coords.shape[0]
     # entry 0 is the baseline (no-op occlusion at the first window origin)
@@ -105,12 +174,41 @@ def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
     def chunk_scores(args):
         origins, base_flags = args
         def one(origin, flag):
-            return score_of(_occlude(image, origin, occ.patch_size,
-                                     occ.fill_value, is_baseline=flag))
+            return (latent_of(origin, flag) @ txt.T) * temp   # [K]
         return jax.vmap(one)(origins, base_flags)
 
-    scores = jax.lax.map(chunk_scores, (coords_p, base_p)).reshape(-1)
-    return scores[0], scores[1:n + 1]
+    scores = jax.lax.map(chunk_scores, (coords_p, base_p))
+    return scores.reshape(-1, txt.shape[0])[:n + 1]
+
+
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast",
+                                   "token_shortcut"))
+def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
+                     text_latent: Array, coords: Array, *,
+                     occ: OcclusionConfig = OcclusionConfig(),
+                     chunk: int = 8, fast: bool = False,
+                     token_shortcut: bool = True) -> Tuple[Array, Array]:
+    """(original_score, per-window occluded scores [N]).
+
+    `text_latent` is the fixed [dim_latent] prompt/report/diff-embedding
+    latent; score = <image_latent, text_latent> * exp(temperature), the
+    sim[0, 0] the reference reads per forward (visualizations.py:375,388).
+
+    token_shortcut=True (default) runs the token-level masking shortcut
+    (see module notes): clean volume embedded once, per window only the
+    intersected ViT-patch block is re-embedded and spliced in. `fast` is
+    kept for API compatibility (the full-forward fallback distinguishes
+    conv/matmul embeds; the shortcut always uses the bit-stable matmul
+    embed for the clean grid and blocks)."""
+    if not token_shortcut and not fast:
+        from .capture import parity_cfg
+        cfg = parity_cfg(cfg)
+        # the bit-stable matmul embed normalizes [n, patch_dim] in fp32
+        # (221 MB per lane at flagship shapes) — cap the vmap width
+        chunk = min(chunk, 2)
+    scores = _sweep_scores(params, cfg, image, text_latent[None], coords,
+                           occ, chunk, token_shortcut)[:, 0]
+    return scores[0], scores[1:]
 
 
 def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
@@ -170,11 +268,13 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
     return heat.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast"))
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast",
+                                   "token_shortcut"))
 def occlusion_scores_multi(params, cfg: CTCLIPConfig, image: Array,
                            text_latents: Array, coords: Array, *,
                            occ: OcclusionConfig = OcclusionConfig(),
-                           chunk: int = 8, fast: bool = False
+                           chunk: int = 8, fast: bool = False,
+                           token_shortcut: bool = True
                            ) -> Tuple[Array, Array]:
     """Multi-pathology sweep: (original_scores [K], scores [N, K]).
 
@@ -182,35 +282,14 @@ def occlusion_scores_multi(params, cfg: CTCLIPConfig, image: Array,
     forward scores every pathology at once. The reference's text-embeds mode
     re-runs the full 12,167-forward sweep per positive pathology
     (visualizations.py:1037-1044) — this is K x cheaper with identical
-    numbers."""
-    if not fast:
+    numbers. token_shortcut: see occlusion_scores."""
+    if not token_shortcut and not fast:
         from .capture import parity_cfg
         cfg = parity_cfg(cfg)
         chunk = min(chunk, 2)
-    temp = jnp.exp(params["temperature"])
-    txt = text_latents.astype(jnp.float32)               # [K, L]
-
-    def latent_of(img):
-        lat, _ = encode_image_latents(params, cfg, img, freeze_vq=True)
-        return lat[0].astype(jnp.float32)
-
-    n = coords.shape[0]
-    coords_all = jnp.concatenate([coords[:1], coords], axis=0)
-    is_base = jnp.zeros((n + 1,), bool).at[0].set(True)
-    pad = (-(n + 1)) % chunk
-    coords_p = jnp.pad(coords_all, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
-    base_p = jnp.pad(is_base, (0, pad)).reshape(-1, chunk)
-
-    def chunk_scores(args):
-        origins, base_flags = args
-        def one(origin, flag):
-            lat = latent_of(_occlude(image, origin, occ.patch_size,
-                                     occ.fill_value, is_baseline=flag))
-            return (lat @ txt.T) * temp                  # [K]
-        return jax.vmap(one)(origins, base_flags)
-
-    scores = jax.lax.map(chunk_scores, (coords_p, base_p)).reshape(-1, txt.shape[0])
-    return scores[0], scores[1:n + 1]
+    scores = _sweep_scores(params, cfg, image, text_latents, coords,
+                           occ, chunk, token_shortcut)
+    return scores[0], scores[1:]
 
 
 def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,

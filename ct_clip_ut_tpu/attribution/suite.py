@@ -154,6 +154,13 @@ class Visualizations:
                         out / (f"{scan_name}_{pathology}_{occ.patch_size}_"
                                f"{occ.stride}_occlusion.gif"),
                         display_flags={"overlay": True})
+                # combined per-pathology [scan | heatmap | overlay] figure
+                # (reference visualize_pathology_heatmaps, visualizations.py:495-567)
+                viz.visualize_pathology_heatmaps(
+                    img, heatmaps,
+                    out / (f"{scan_name}_{occ.patch_size}_{occ.stride}_"
+                           f"pathology_heatmaps.gif"),
+                    pathologies=self.ctx.pathologies)
             return heatmaps
 
         latent = occ_mod.report_text_latent(self.ctx.params, self.ctx.cfg,

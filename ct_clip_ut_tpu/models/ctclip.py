@@ -30,7 +30,7 @@ from ..ops.layers import init_linear, l2norm, linear
 from ..ops.taps import NULL_TAPS, Taps
 from ..ops.vq import VQState
 from .bert import bert_cls, init_bert
-from .ctvit import ctvit_apply, init_ctvit
+from .ctvit import _ctvit_encode_tokens, ctvit_apply, init_ctvit
 
 Array = jax.Array
 
@@ -60,16 +60,37 @@ class CTCLIPOutput(NamedTuple):
 def encode_image_latents(params, cfg: CTCLIPConfig, image: Array, *,
                          freeze_vq: bool = True, return_weights: bool = False,
                          taps: Taps = NULL_TAPS, rng=None,
-                         deterministic: bool = True):
+                         deterministic: bool = True,
+                         prepatchified: bool = False):
     """Image half: CT-ViT -> temporal mean -> flatten -> project -> l2norm
-    (reference ctclip.py:110-120). Returns (latents, CTViTOutput)."""
+    (reference ctclip.py:110-120). Returns (latents, CTViTOutput).
+    With prepatchified=True, `image` is a [b, t, h, w, patch_dim] patch
+    tensor (see ctvit.patchify) — the gradient-attribution entry point."""
     vit_out = ctvit_apply(
         params["visual_transformer"], cfg.ctvit, image,
         freeze_vq=freeze_vq, return_weights=return_weights, taps=taps,
-        rng=rng, deterministic=deterministic)
+        rng=rng, deterministic=deterministic, prepatchified=prepatchified)
     tokens = vit_out.tokens                                # [b, t, h, w, d]
     pooled = tokens.mean(axis=1)                           # [b, h, w, d]
     flat = pooled.reshape(pooled.shape[0], -1)             # [b, h*w*d]
+    latents = linear(params["to_visual_latent"], flat)
+    return l2norm(latents), vit_out
+
+
+def encode_image_latents_from_tokens(params, cfg: CTCLIPConfig,
+                                     token_grid: Array, *,
+                                     freeze_vq: bool = True):
+    """Image half starting from an EMBEDDED [b, t, h, w, d] token grid (the
+    output of the patch embed): transformer encode -> VQ -> temporal mean ->
+    flatten -> project -> l2norm. Lets callers that mutate few patches
+    (occlusion's token-level masking shortcut, attribution/occlusion.py)
+    skip the full-volume patch embed. Returns (latents, CTViTOutput)."""
+    vit_out = _ctvit_encode_tokens(
+        params["visual_transformer"], cfg.ctvit, token_grid,
+        freeze_vq=freeze_vq, return_weights=False,
+        taps=NULL_TAPS, rng=None, deterministic=True)
+    pooled = vit_out.tokens.mean(axis=1)
+    flat = pooled.reshape(pooled.shape[0], -1)
     latents = linear(params["to_visual_latent"], flat)
     return l2norm(latents), vit_out
 
@@ -95,7 +116,8 @@ def ctclip_apply(params, cfg: CTCLIPConfig, text_tokens, image: Array, *,
                  freeze_vq: bool = True,
                  return_weights: bool = False,
                  taps: Taps = NULL_TAPS,
-                 rng=None, deterministic: bool = True) -> CTCLIPOutput:
+                 rng=None, deterministic: bool = True,
+                 prepatchified: bool = False) -> CTCLIPOutput:
     """Full forward (reference ctclip.py:99-129).
 
     Args:
@@ -121,7 +143,7 @@ def ctclip_apply(params, cfg: CTCLIPConfig, text_tokens, image: Array, *,
     image_latents, vit_out = encode_image_latents(
         params, cfg, image, freeze_vq=freeze_vq,
         return_weights=return_weights, taps=taps, rng=r_img,
-        deterministic=deterministic)
+        deterministic=deterministic, prepatchified=prepatchified)
 
     if gather_axis is not None:
         # differentiable global contrastive batch (reference ctclip.py:123-124)

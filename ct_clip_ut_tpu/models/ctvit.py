@@ -148,6 +148,22 @@ def patchify(image: Array, patch: int, t_patch: int) -> Array:
     return x.reshape(b, t, h, w, c * t_patch * patch * patch)
 
 
+def unpatchify_np(patches, patch: int, t_patch: int, channels: int = 1):
+    """Host-side (numpy) inverse of `patchify`: [t, h, w, patch_dim] ->
+    [c * t_patch * t, h * patch, w * patch] (leading channel axis squeezed
+    for c == 1). Cheap on host; on TPU the inverse permutation is a heavily
+    tile-padded transpose — this is why attribution maps are computed in
+    patch space and un-permuted here exactly once."""
+    import numpy as np
+    p = np.asarray(patches)
+    t, h, w, pd = p.shape
+    c = channels
+    x = p.reshape(t, h, w, c, t_patch, patch, patch)
+    x = x.transpose(3, 0, 4, 1, 5, 2, 6)  # c t pt h p1 w p2
+    x = x.reshape(c, t * t_patch, h * patch, w * patch)
+    return x[0] if c == 1 else x
+
+
 class CTViTOutput(NamedTuple):
     tokens: Optional[Array]       # [b, t, h, w, d] quantized tokens
     codebook_ids: Array           # [b, t, h, w]
@@ -191,14 +207,30 @@ def ctvit_apply(params, cfg: CTViTConfig, image: Array, *,
                 freeze_vq: bool = True,
                 return_weights: bool = False,
                 taps: Taps = NULL_TAPS,
-                rng=None, deterministic: bool = True) -> CTViTOutput:
+                rng=None, deterministic: bool = True,
+                prepatchified: bool = False) -> CTViTOutput:
     """Full CT-ViT forward (reference ctvit.py:105-125).
 
     Args:
-      image: [b, c, T, H, W] preprocessed volume.
+      image: [b, c, T, H, W] preprocessed volume, or — with
+        prepatchified=True — an already-patchified [b, t, h, w, patch_dim]
+        tensor (see `patchify`). The prepatchified entry exists so gradient
+        methods (IG) can differentiate w.r.t. the patch tensor directly: the
+        patchify transpose is a pixel permutation whose VJP is a heavily
+        tile-padded transpose on TPU (~400 ms per step at flagship shapes),
+        and since elementwise math and global statistics commute with a
+        permutation, attribution maps can be computed entirely in patch
+        space and un-permuted once on the host.
       freeze_vq: skip the EMA codebook update (eval / frozen-codebook mode,
         mirroring `freeze_codebook=not self.training`, reference ctvit.py:118).
     """
+    if prepatchified:
+        assert cfg.model_type != "ctgenerate", (
+            "prepatchified input is only supported for the ctclip embed")
+        tokens = _patch_embed(params["to_patch_emb"], image)
+        return _ctvit_encode_tokens(params, cfg, tokens, freeze_vq=freeze_vq,
+                                    return_weights=return_weights, taps=taps,
+                                    rng=rng, deterministic=deterministic)
     if cfg.patch_embed_conv:
         def embed(p, img, t_patch):
             return _patch_embed_conv(p, img, cfg.patch_size, t_patch)
@@ -216,6 +248,15 @@ def ctvit_apply(params, cfg: CTViTConfig, image: Array, *,
     else:
         tokens = embed(params["to_patch_emb"], image, cfg.temporal_patch_size)
 
+    return _ctvit_encode_tokens(params, cfg, tokens, freeze_vq=freeze_vq,
+                                return_weights=return_weights, taps=taps,
+                                rng=rng, deterministic=deterministic)
+
+
+def _ctvit_encode_tokens(params, cfg: CTViTConfig, tokens: Array, *,
+                         freeze_vq: bool, return_weights: bool, taps: Taps,
+                         rng, deterministic: bool) -> CTViTOutput:
+    """Transformer encode + VQ of an embedded [b, t, h, w, d] token grid."""
     tokens, sp_aux, tm_aux = ctvit_encode(
         params, cfg, tokens, return_weights=return_weights, taps=taps,
         rng=rng, deterministic=deterministic)

@@ -59,7 +59,8 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     weights: "all" returns every layer's self+cross attention; "last_cross"
     captures only the final layer's cross-attention (what CTGenerate's
     keyword heatmaps consume) — at the 101x8x8-token flagship grid, all-layer
-    fp32 weights are ~8 GB, so selective capture matters."""
+    fp32 weights are ~8 GB, so selective capture matters; "none" captures
+    nothing (the iterative-decode loop)."""
     b, n = ct_codebook_ids.shape
 
     x = jnp.take(params["token_emb"], ct_codebook_ids, axis=0)
@@ -73,9 +74,10 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     attn_bias = continuous_pos_bias(
         params["continuous_pos_bias"], *video_patch_shape)  # [heads, n, n]
 
-    if weights == "last_cross":
+    if weights in ("last_cross", "none"):
         from ..ops.taps import Taps
-        taps = Taps(capture={f"{cfg.depth - 1}.cross_attn_weights"})
+        taps = Taps(capture=(set() if weights == "none" else
+                             {f"{cfg.depth - 1}.cross_attn_weights"}))
         out, _ = transformer(
             params["transformer"], cfg.transformer(), x,
             video_shape=(b, *video_patch_shape),
@@ -83,7 +85,8 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
             self_attn_mask=video_mask, cross_attn_context_mask=text_mask,
             return_weights=False, taps=taps, rng=rng,
             deterministic=deterministic)
-        cross = (taps.collected[f"{cfg.depth - 1}.cross_attn_weights"],)
+        cross = (() if weights == "none" else
+                 (taps.collected[f"{cfg.depth - 1}.cross_attn_weights"],))
         self_attn = ()
     else:
         out, aux = transformer(
@@ -98,3 +101,80 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     if not return_embeds:
         out = linear(params["to_logits"], out)
     return MaskGitOutput(output=out, self_attn=self_attn, cross_attn=cross)
+
+
+def _cosine_mask_counts(n: int, steps: int):
+    """MaskGIT cosine schedule: number of positions still masked after each
+    decode step (strictly decreasing to 0 at the last step)."""
+    import math
+    counts = [int(math.floor(math.cos(math.pi / 2 * (s + 1) / steps) * n))
+              for s in range(steps)]
+    counts[-1] = 0
+    return counts
+
+
+def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
+                     video_patch_shape: Tuple[int, int, int], *,
+                     text_mask: Optional[Array] = None,
+                     steps: int = 18, temperature: float = 1.0,
+                     rng: Array) -> Array:
+    """Iterative parallel decode of a CT token grid conditioned on a T5
+    report embedding — the GenerateCT capability the reference carries the
+    architecture for but never runs (its MaskGit is only ever used for one
+    attribution forward, CTGenerateInference.py:125; the snapshot strips the
+    CT-ViT decoder weights, notebooks/generate_notebook). Standard MaskGIT
+    confidence schedule:
+
+      all positions start at the learned MASK embedding (the num_tokens+1-th
+      token_emb row); each of `steps` scan iterations predicts logits for
+      every position, samples the masked ones (temperature annealed to 0),
+      and keeps the most confident samples so that the cosine schedule's
+      mask count survives to the next iteration.
+
+    Static trip count + static per-step mask counts -> one compiled program
+    (jax.lax.scan), no host round-trips. Returns int32 ids [b, n] with every
+    id < cfg.num_tokens.
+    """
+    b = context.shape[0]
+    t, h, w = video_patch_shape
+    n = t * h * w
+    mask_id = cfg.num_tokens                      # the extra token_emb row
+    neg_inf = jnp.float32(-1e9)
+
+    mask_counts = jnp.asarray(_cosine_mask_counts(n, steps), jnp.int32)
+    anneal = jnp.linspace(1.0, 0.0, steps + 1)[1:]  # -> 0 at the last step
+
+    def step_fn(carry, xs):
+        ids, is_masked, rng = carry
+        n_keep_masked, temp_scale = xs
+        rng, r_sample = jax.random.split(rng)
+
+        logits = maskgit_apply(
+            params, cfg, ids, context, video_patch_shape,
+            text_mask=text_mask, weights="none").output        # [b, n, V]
+        logits = logits.astype(jnp.float32)
+
+        temp = jnp.maximum(temperature * temp_scale, 1e-6)
+        sampled = jax.random.categorical(r_sample, logits / temp, axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1)
+        conf = jnp.take_along_axis(probs, sampled[..., None],
+                                   axis=-1)[..., 0]            # [b, n]
+
+        # already-fixed positions keep their ids with infinite confidence
+        sampled = jnp.where(is_masked, sampled, ids)
+        conf = jnp.where(is_masked, conf, jnp.inf)
+
+        # re-mask the n_keep_masked least-confident positions
+        sorted_conf = jnp.sort(conf, axis=-1)                  # ascending
+        cut = jnp.take_along_axis(
+            sorted_conf, jnp.full((b, 1), n_keep_masked, jnp.int32),
+            axis=-1)                                           # [b, 1]
+        remask = (conf < cut) & (n_keep_masked > 0)
+        ids = jnp.where(remask, mask_id, sampled).astype(jnp.int32)
+        return (ids, remask, rng), None
+
+    ids0 = jnp.full((b, n), mask_id, jnp.int32)
+    masked0 = jnp.ones((b, n), bool)
+    (ids, _, _), _ = jax.lax.scan(step_fn, (ids0, masked0, rng),
+                                  (mask_counts, anneal))
+    return ids

@@ -44,18 +44,26 @@ def init_vq(key, codebook_size: int, dim: int) -> VQState:
                    cluster_size=jnp.zeros((codebook_size,), jnp.float32))
 
 
-def _nearest(embed: Array, flat: Array, chunk: int = 2048) -> Array:
+def _nearest(embed: Array, flat: Array, chunk: int = 2048,
+             compute_dtype=jnp.float32) -> Array:
     """argmax cosine-sim indices for [n, d] l2-normalized inputs. On TPU the
     fused Pallas kernel streams codebook tiles (ops/pallas_vq.py); elsewhere
-    a chunked XLA map bounds the [chunk, codebook] logits transient."""
+    a chunked XLA map bounds the [chunk, codebook] logits transient.
+
+    compute_dtype: matmul input dtype on the TPU path. bf16 runs the 8192-way
+    sim at MXU rate (~4x the fp32 kernel; 1.85 TFLOP at flagship shapes) and
+    matches the reference's fp16-autocast VQ distance matmul
+    (CTClipTrainer.py:269, vector_quantize_pytorch under autocast);
+    attribution paths keep fp32 tokens and therefore the fp32 kernel."""
     n = flat.shape[0]
     if jax.default_backend() == "tpu" and embed.shape[0] % 1024 == 0:
         from .pallas_vq import vq_nearest_pallas
         # indices are integers (no tangents); stop_gradient keeps the Pallas
         # call out of the autodiff graph when the model is differentiated
-        return vq_nearest_pallas(jax.lax.stop_gradient(flat),
-                                 jax.lax.stop_gradient(embed),
-                                 tc=min(2048, embed.shape[0]))
+        return vq_nearest_pallas(
+            jax.lax.stop_gradient(flat).astype(compute_dtype),
+            jax.lax.stop_gradient(embed).astype(compute_dtype),
+            tc=min(2048, embed.shape[0]))
 
     pad = (-n) % chunk
     flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
@@ -70,10 +78,12 @@ def _nearest(embed: Array, flat: Array, chunk: int = 2048) -> Array:
 
 
 def vq_lookup(state: VQState, x: Array) -> Tuple[Array, Array]:
-    """Quantize [..., d] inputs. Returns (quantized_value, indices)."""
+    """Quantize [..., d] inputs. Returns (quantized_value, indices).
+    The sim matmul runs in the input's dtype (bf16 inputs -> bf16 MXU pass,
+    fp32 attribution inputs -> fp32 kernel); l2norm stays fp32."""
     shape = x.shape
     flat = l2norm(x.reshape(-1, shape[-1]).astype(jnp.float32))
-    idx = _nearest(state.embed, flat)
+    idx = _nearest(state.embed, flat, compute_dtype=x.dtype)
     quant = jnp.take(state.embed, idx, axis=0)
     return quant.reshape(shape).astype(x.dtype), idx.reshape(shape[:-1])
 

@@ -21,13 +21,19 @@ from ..config import MeshConfig
 
 def initialize_runtime(coordinator_address: Optional[str] = None,
                        num_processes: Optional[int] = None,
-                       process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up. No-op for single-process runs."""
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
+                       process_id: Optional[int] = None,
+                       auto: bool = True) -> None:
+    """Multi-host bring-up. With every arg None on a Cloud TPU pod slice the
+    coordinator is auto-detected from the TPU metadata (jax.distributed
+    semantics); explicitly single-process (num_processes == 1) is a no-op."""
+    if num_processes == 1:
+        return
+    if num_processes is None and coordinator_address is None and not auto:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,

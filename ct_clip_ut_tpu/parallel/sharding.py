@@ -75,3 +75,14 @@ def shard_params(params, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(mesh))
+
+
+def shard_host_batch(batch, mesh: Mesh):
+    """Multi-host-aware batch placement: each process contributes its LOCAL
+    batch (from its ShardedSampler shard, data/loader.py) and the result is
+    the GLOBAL [local * process_count, ...] array sharded over "data" — the
+    DistributedSampler + DDP data path of the reference
+    (CTClipTrainer.py:88-105). Single-process this is exactly shard_batch."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, batch_shardings(mesh))
+    return jax.make_array_from_process_local_data(batch_shardings(mesh), batch)

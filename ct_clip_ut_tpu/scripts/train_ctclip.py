@@ -42,11 +42,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-grad-norm", type=float, default=0.5)
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--multihost", action="store_true",
+                   help="bring up jax.distributed across TPU hosts "
+                        "(auto-detected coordinator on Cloud TPU)")
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # multi-host bring-up must happen before the first jax device query
+    # (replaces the reference's NCCL process-group init, CTClipTrainer.py:62-69)
+    if args.multihost or (args.num_processes or 0) > 1:
+        from ..parallel.mesh import initialize_runtime
+        initialize_runtime(coordinator_address=args.coordinator_address,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+    import jax
 
     from transformers import BertTokenizer
 
@@ -72,11 +87,20 @@ def main(argv=None):
     valid_ds = InferenceDataset(args.data_valid, args.valid_reports,
                                 args.valid_metadata, args.valid_labels,
                                 num_samples=args.num_valid_samples)
+    # per-process contiguous-interleaved shards, the DistributedSampler
+    # pattern of the reference (CTClipTrainer.py:88-105); single-process this
+    # is the identity shard
+    n_proc, pid = jax.process_count(), jax.process_index()
     train_dl = DataLoader(train_ds, batch_size=args.batch_size,
-                          sampler=ShardedSampler(len(train_ds), shuffle=True),
+                          sampler=ShardedSampler(len(train_ds), shuffle=True,
+                                                 num_shards=n_proc,
+                                                 shard_index=pid,
+                                                 seed=args.seed),
                           num_workers=args.num_workers)
     valid_dl = DataLoader(valid_ds, batch_size=args.batch_size,
-                          sampler=ShardedSampler(len(valid_ds), shuffle=False),
+                          sampler=ShardedSampler(len(valid_ds), shuffle=False,
+                                                 num_shards=n_proc,
+                                                 shard_index=pid),
                           num_workers=args.num_workers)
 
     params = None

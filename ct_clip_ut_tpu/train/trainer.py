@@ -151,6 +151,14 @@ class CTClipTrainer:
         self.valid_losses = []
         self.best_score = float("inf")
 
+        # multi-host: process 0 is the reference's rank-0 / is_main_process
+        # (maybe_print, checkpoint + plot writes, CTClipTrainer.py:70,136-145)
+        self.is_main = jax.process_index() == 0
+
+    def maybe_print(self, *args, **kwargs):
+        if self.is_main:
+            print(*args, **kwargs)
+
     # -- plumbing ----------------------------------------------------------
 
     def tokenize(self, texts):
@@ -165,12 +173,15 @@ class CTClipTrainer:
 
     def _put_batch(self, images, texts):
         images = jnp.asarray(images)
-        if images.shape[0] % self.mesh.shape["data"] == 0:
-            put = lambda v: sharding.shard_batch(v, self.mesh)
+        # this process's shard must split evenly over its local devices
+        local_data = self.mesh.shape["data"] // jax.process_count()
+        if images.shape[0] % max(local_data, 1) == 0:
+            put = lambda v: sharding.shard_host_batch(v, self.mesh)
         else:  # batch not divisible by the data axis: replicate
             if not getattr(self, "_warned_replicate", False):
-                print(f"batch {images.shape[0]} not divisible by data axis "
-                      f"{self.mesh.shape['data']}; replicating batches")
+                self.maybe_print(
+                    f"batch {images.shape[0]} not divisible by local data "
+                    f"axis {local_data}; replicating batches")
                 self._warned_replicate = True
             put = lambda v: jax.device_put(v, sharding.replicated(self.mesh))
         images = put(images)
@@ -178,6 +189,8 @@ class CTClipTrainer:
         return images, tokens
 
     def save_model(self, name: str):
+        if not self.is_main:  # rank-0 write (reference CTClipTrainer.py:136)
+            return
         ckpt.save_checkpoint(self.results_folder / name, self.state)
         (self.results_folder / "architecture.json").write_text(
             json.dumps({"model_cfg": repr(self.model_cfg),
@@ -196,41 +209,58 @@ class CTClipTrainer:
             n += 1
         avg = total / max(n, 1)
         self.valid_losses.append(avg)
-        print(f"Epoch {epoch} - Validation Loss: {avg:.4f}")
+        self.maybe_print(f"Epoch {epoch} - Validation Loss: {avg:.4f}")
 
         if epoch == 0 or (avg < self.best_score and self.cfg.save_best_model):
             self.best_score = min(avg, self.best_score)
             self.save_model("best_checkpoint.msgpack")
-        try:
-            from ..utils.metrics import plot_training_progress
-            plot_training_progress(self.train_losses, self.valid_losses,
-                                   self.results_folder)
-        except Exception as e:  # plotting is best-effort
-            print(f"plot skipped: {e}")
+        if self.is_main:
+            try:
+                from ..utils.metrics import plot_training_progress
+                plot_training_progress(self.train_losses, self.valid_losses,
+                                       self.results_folder)
+            except Exception as e:  # plotting is best-effort
+                print(f"plot skipped: {e}")
         return avg
 
     def train(self):
-        print("Training started")
+        self.maybe_print("Training started")
         start = time.time()
+        # step-loss logging is subsampled num_save_split times per epoch
+        # (reference CTClipTrainer.py:257,274)
+        try:
+            save_at = max(1, len(self.train_data) // self.cfg.num_save_split)
+        except TypeError:  # unsized iterable: log every step
+            save_at = 1
         for epoch in range(1, self.cfg.num_epochs + 1):
             epoch_start = time.time()
+            # re-shuffle per epoch (reference train_sampler.set_epoch, :265)
+            sampler = getattr(self.train_data, "sampler", None)
+            if sampler is not None and hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(epoch)
             total_loss, steps = 0.0, 0
             for step, (images, texts) in enumerate(self.train_data, start=1):
                 images, tokens = self._put_batch(images, texts)
                 self.state, loss = self.train_step(self.state, images, tokens)
+                # with the global contrastive batch under GSPMD the loss is
+                # already the cross-process value — the reference's
+                # avg_device_loss gather (CTClipTrainer.py:156-162) averages
+                # identical per-rank copies of the same global loss
                 loss = float(loss)
                 total_loss += loss
                 steps += 1
-                self.train_losses["steps"].append(loss)
+                if step % save_at == 0:
+                    self.train_losses["steps"].append(loss)
                 if epoch == 1 and step == 1:
                     self.train_losses["epochs"].append(loss)
+                    self.train_losses["steps"].append(loss)
                     self.evaluate(0)  # step-0 bootstrap eval (reference :278-281)
-                print(f"Epoch {epoch} | Step {step} | Loss: {loss:.6f}")
+                self.maybe_print(f"Epoch {epoch} | Step {step} | Loss: {loss:.6f}")
 
             avg = total_loss / max(steps, 1)
             self.train_losses["epochs"].append(avg)
-            print(f"Epoch {epoch} done. Avg loss {avg:.6f} "
-                  f"({time.time() - epoch_start:.1f}s)")
+            self.maybe_print(f"Epoch {epoch} done. Avg loss {avg:.6f} "
+                             f"({time.time() - epoch_start:.1f}s)")
             self.evaluate(epoch)
-        print(f"Training completed in {time.time() - start:.1f}s")
+        self.maybe_print(f"Training completed in {time.time() - start:.1f}s")
         return self.state

@@ -79,6 +79,36 @@ def test_maskgit_forward():
     assert emb.output.shape == (1, 32, 16)
 
 
+def test_maskgit_generate():
+    """Iterative decode: all-masked start, cosine-schedule unmasking, final
+    ids all inside the codebook, deterministic under a fixed key."""
+    params = mg.init_maskgit(KEY, SMALL_MG)
+    context = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 32))
+    text_mask = jnp.ones((2, 7), bool)
+
+    ids = mg.maskgit_generate(params, SMALL_MG, context, (2, 4, 4),
+                              text_mask=text_mask, steps=4,
+                              rng=jax.random.PRNGKey(3))
+    assert ids.shape == (2, 32)
+    assert ids.dtype == jnp.int32
+    ids_np = np.asarray(ids)
+    assert ids_np.min() >= 0 and ids_np.max() < SMALL_MG.num_tokens
+
+    again = np.asarray(mg.maskgit_generate(
+        params, SMALL_MG, context, (2, 4, 4), text_mask=text_mask, steps=4,
+        rng=jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(ids_np, again)
+
+    other = np.asarray(mg.maskgit_generate(
+        params, SMALL_MG, context, (2, 4, 4), text_mask=text_mask, steps=4,
+        rng=jax.random.PRNGKey(9)))
+    assert (other != ids_np).any()  # sampling actually samples
+
+    # schedule sanity: the cosine mask counts strictly decrease to zero
+    counts = mg._cosine_mask_counts(32, 4)
+    assert counts[-1] == 0 and all(a > b for a, b in zip(counts, counts[1:]))
+
+
 def test_maskgit_gradient_shrink():
     """Gradient through token embeddings scaled by alpha, value unchanged."""
     cfg = SMALL_MG

@@ -126,6 +126,29 @@ def test_attribution_gif_rendering(fake_env, tmp_path):
     assert all(g.stat().st_size > 1000 for g in gifs)
 
 
+def test_occlusion_text_embeds_renders_combined_figure(fake_env, tmp_path):
+    """The multi-pathology path renders the combined per-pathology
+    [scan | heatmap | overlay] animation (reference
+    visualize_pathology_heatmaps, visualizations.py:495-567)."""
+    from ct_clip_ut_tpu.config import PATHOLOGIES
+    tmp, ds, params = fake_env
+    rs = np.random.RandomState(3)
+    diff_embeds = {p: rs.randn(32).astype(np.float32) for p in PATHOLOGIES}
+    ctx = AttributionContext(
+        params=params, cfg=SMALL_CLIP, tokenizer=HashTokenizer(),
+        data=[ds[0]], render_gifs=True, text_max_length=16,
+        diff_embeds=diff_embeds)
+    vis = Visualizations(ctx, tmp_path / "results")
+    image, text, labels, name, path = ds[0]
+    occ = OcclusionConfig(patch_size=(8, 16, 16), stride=(8, 16, 16))
+    vis.occlusion(np.asarray(image)[None], vis._tokenize(text), labels, name,
+                  path, occ=occ, use_text_embeds=True)
+    combined = list((tmp_path / "results" / "occlusion")
+                    .rglob("*pathology_heatmaps.gif"))
+    assert len(combined) == 1
+    assert combined[0].stat().st_size > 1000
+
+
 def test_occlusion_text_embeds_suite_path(fake_env, tmp_path):
     """use_text_embeds mode: one sweep over all positive pathologies
     (reference visualizations.py:1037-1044 re-sweeps per pathology)."""
