@@ -155,7 +155,10 @@ def init_peg(key, dim: int):
 
 def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
         causal: bool = True) -> Array:
-    """Depthwise 3D conv positional encoding.
+    """Depthwise 3D conv positional encoding, conv-only (residual added by
+    the caller, matching the torch module: reference attention.py:55-83,
+    323). On TPU prefer `peg_residual`, which fuses conv+bias+residual into
+    one Pallas HBM pass.
 
     `x` is (B, N, D) token-major; it is raw-reshaped to video_shape + (dim,)
     exactly like the reference (attention.py:66-69) — note that for the
@@ -168,9 +171,9 @@ def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
     orig_shape = x.shape
     b, t, h, w = video_shape
     v = x.reshape(b, t, h, w, x.shape[-1])  # NDHWC
+    dim = v.shape[-1]
 
     frame_pad = (2, 0) if causal else (1, 1)
-    dim = v.shape[-1]
     # compute in the input dtype with fp32 accumulation (the reference runs
     # this conv under fp16 autocast; bf16 here is >= that precision)
     out = jax.lax.conv_general_dilated(
@@ -183,3 +186,25 @@ def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
     )
     out = out.astype(jnp.float32) + params["b"]
     return out.astype(x.dtype).reshape(orig_shape)
+
+
+def peg_residual(params, x: Array, video_shape: Tuple[int, int, int, int],
+                 causal: bool = True,
+                 use_pallas: Optional[bool] = None) -> Array:
+    """peg(x) + x. Defaults to the XLA conv formulation: at flagship shapes
+    (B=16, 24^3 grid, dim 512 on v5e) XLA's depthwise-conv lowering measures
+    2.65 ms/apply vs 6.3 ms for the fused Pallas stencil (ops/pallas_peg.py,
+    27 sublane-roll+fma per frame — VPU shuffle-bound), so the kernel is
+    opt-in (use_pallas=True) rather than the default."""
+    b, t, h, w = video_shape
+    dim = x.shape[-1]
+    if use_pallas is None:
+        use_pallas = False
+    if not (use_pallas and jax.default_backend() == "tpu"
+            and dim % 128 == 0 and h >= 3 and w >= 3):
+        return peg(params, x, video_shape, causal=causal) + x
+
+    from .pallas_peg import peg_fused
+    v = x.reshape(b, t, h, w, dim)
+    out = peg_fused(v, params["w"].reshape(27, dim), params["b"], causal)
+    return out.reshape(x.shape)

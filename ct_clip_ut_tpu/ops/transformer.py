@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..config import TransformerConfig
 from .attention import attention, init_attention
-from .layers import feedforward, init_feedforward, init_layernorm, init_peg, layernorm, peg
+from .layers import (feedforward, init_feedforward, init_layernorm, init_peg,
+                     layernorm, peg_residual)
 from .taps import NULL_TAPS, Taps
 
 Array = jax.Array
@@ -71,7 +72,7 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
 
     def plain_layer(layer, x, r_attn, r_cross, r_ff):
         if cfg.peg:
-            x = peg(layer["peg"], x, video_shape, causal=cfg.peg_causal) + x
+            x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal)
         attn_out, _ = attention(
             layer["self_attn"], cfg.self_attn(), x,
             attn_bias=attn_bias, mask=self_attn_mask, return_weights=False,
@@ -100,7 +101,7 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
 
     for i, layer in enumerate(params["layers"]):
         if cfg.peg:
-            x = peg(layer["peg"], x, video_shape, causal=cfg.peg_causal) + x
+            x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal)
 
         if rng is not None:
             rng, r_attn, r_cross, r_ff = jax.random.split(rng, 4)

@@ -166,3 +166,32 @@ def test_pallas_vq_tie_breaking_first_wins():
     tokens = base
     got = vq_nearest_pallas(tokens, codebook, tm=8, tc=256, interpret=True)
     assert int(got[0]) == 0  # first maximal code, not the duplicate at 2
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("t", [5, 8])  # t=5 -> TB=1; t=8 -> TB=4 (f32)
+def test_pallas_peg_matches_xla(causal, t):
+    from ct_clip_ut_tpu.ops import layers as L
+    from ct_clip_ut_tpu.ops.pallas_peg import peg_fused
+    dim, (b, h, w) = 128, (2, 4, 4)
+    p = L.init_peg(KEY, dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t * h * w, dim))
+    ref = L.peg(p, x, (b, t, h, w), causal=causal) + x
+
+    v = x.reshape(b, t, h, w, dim)
+    got = peg_fused(v, p["w"].reshape(27, dim), p["b"], causal,
+                    True).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # grads through the custom VJP match the conv formulation
+    def loss_fused(v):
+        return (peg_fused(v, p["w"].reshape(27, dim), p["b"], causal,
+                          True) ** 2).sum()
+
+    def loss_ref(v):
+        xf = v.reshape(b, t * h * w, dim)
+        return ((L.peg(p, xf, (b, t, h, w), causal=causal) + xf) ** 2).sum()
+
+    g1 = jax.grad(loss_fused)(v)
+    g2 = jax.grad(loss_ref)(v)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
