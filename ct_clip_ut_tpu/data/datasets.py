@@ -51,17 +51,58 @@ def _walk_nii(data_folder):
                 yield os.path.join(root, file), file
 
 
+def _cfg_digest(model_type: str, cfg: PreprocessConfig) -> str:
+    import hashlib
+    return hashlib.md5(f"{model_type}|{cfg}".encode()).hexdigest()[:10]
+
+
+def _cached_process(path, name, metadata_df, model_type,
+                    cfg: PreprocessConfig, cache_dir: Optional[str]):
+    """process_file with an optional preprocessed-volume disk cache.
+
+    The reference has no cache — every epoch re-inflates the .nii.gz
+    (single-stream gzip, ~5 s/volume) and re-runs the resample chain. Here
+    the finished tensor is stored once as raw .npy keyed by volume name +
+    a digest of (model_type, PreprocessConfig); subsequent epochs are a
+    sequential ~100-220 MB read. Writes are atomic (tmp + os.replace) so
+    concurrent multi-host workers sharing a cache directory race safely;
+    unreadable entries fall through to a re-process."""
+    if not cache_dir:
+        return process_file(path, name, metadata_df, model_type, cfg)
+    os.makedirs(cache_dir, exist_ok=True)
+    stem = name[:-7] if name.endswith(".nii.gz") else os.path.splitext(name)[0]
+    cpath = os.path.join(cache_dir,
+                         f"{stem}.{_cfg_digest(model_type, cfg)}.npy")
+    if os.path.exists(cpath):
+        try:
+            return np.load(cpath)
+        except Exception:
+            pass
+    image = process_file(path, name, metadata_df, model_type, cfg)
+    if image is not None:
+        tmp = f"{cpath}.{os.getpid()}.tmp.npy"
+        try:
+            np.save(tmp, image)
+            os.replace(tmp, cpath)
+        except OSError:  # full/read-only cache disk: serve without caching
+            if os.path.exists(tmp):
+                os.remove(tmp)
+    return image
+
+
 class TrainDataset:
     """Yields (image [1, D, H, W] float32, report_text)
     (reference TrainDataset.py:8-78)."""
 
     def __init__(self, data_folder, reports, metadata, num_samples: int = 5000,
                  model_type: str = "ctclip",
-                 preprocess_cfg: PreprocessConfig = PreprocessConfig()):
+                 preprocess_cfg: PreprocessConfig = PreprocessConfig(),
+                 cache_dir: Optional[str] = None):
         import pandas as pd
         self.metadata_df = pd.read_csv(metadata)
         self.model_type = model_type
         self.preprocess_cfg = preprocess_cfg
+        self.cache_dir = cache_dir
         observations = _load_observations(reports)
 
         self.samples: List[Tuple[str, str, str]] = []
@@ -78,8 +119,8 @@ class TrainDataset:
 
     def __getitem__(self, index):
         path, text, name = self.samples[index]
-        image = process_file(path, name, self.metadata_df, self.model_type,
-                             self.preprocess_cfg)
+        image = _cached_process(path, name, self.metadata_df, self.model_type,
+                                self.preprocess_cfg, self.cache_dir)
         if image is None:
             raise RuntimeError(f"Error loading {path}")
         return image.astype(np.float32), _clean_text(text)
@@ -91,11 +132,13 @@ class InferenceDataset:
 
     def __init__(self, data_folder, reports, metadata, labels,
                  num_samples: int = 500, model_type: str = "ctclip",
-                 preprocess_cfg: PreprocessConfig = PreprocessConfig()):
+                 preprocess_cfg: PreprocessConfig = PreprocessConfig(),
+                 cache_dir: Optional[str] = None):
         import pandas as pd
         self.metadata_df = pd.read_csv(metadata)
         self.model_type = model_type
         self.preprocess_cfg = preprocess_cfg
+        self.cache_dir = cache_dir
         observations = _load_observations(reports)
 
         labels_df = pd.read_csv(labels)
@@ -119,8 +162,8 @@ class InferenceDataset:
 
     def __getitem__(self, index):
         path, text, labels, name = self.samples[index]
-        image = process_file(path, name, self.metadata_df, self.model_type,
-                             self.preprocess_cfg)
+        image = _cached_process(path, name, self.metadata_df, self.model_type,
+                                self.preprocess_cfg, self.cache_dir)
         if image is None:
             raise RuntimeError(f"Error loading {path}")
         return (image.astype(np.float32), _clean_text(text),

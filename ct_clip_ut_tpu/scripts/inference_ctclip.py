@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--num-valid-samples", type=int, default=10)
+    p.add_argument("--preprocess-cache", default=None,
+                   help="dir for preprocessed-volume .npy cache")
     p.add_argument("--zero-shot", action="store_true")
     p.add_argument("--visualize", nargs="*", default=[],
                    choices=["raw_attention_maps", "attention_rollout",
@@ -66,7 +68,8 @@ def main(argv=None):
 
     ds = InferenceDataset(args.data_valid, args.valid_reports,
                           args.valid_metadata, args.valid_labels,
-                          num_samples=args.num_valid_samples)
+                          num_samples=args.num_valid_samples,
+                          cache_dir=args.preprocess_cache)
     dl = DataLoader(ds, batch_size=args.batch_size,
                     sampler=ShardedSampler(len(ds), shuffle=False,
                                            drop_last=False),

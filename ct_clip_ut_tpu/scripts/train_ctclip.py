@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-grad-norm", type=float, default=0.5)
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--preprocess-cache", default=None,
+                   help="dir for preprocessed-volume .npy cache "
+                        "(skips the ~5 s/volume gzip decode after epoch 1)")
     p.add_argument("--multihost", action="store_true",
                    help="bring up jax.distributed across TPU hosts "
                         "(auto-detected coordinator on Cloud TPU)")
@@ -83,10 +86,12 @@ def main(argv=None):
 
     train_ds = TrainDataset(args.data_train, args.train_reports,
                             args.train_metadata,
-                            num_samples=args.num_train_samples)
+                            num_samples=args.num_train_samples,
+                            cache_dir=args.preprocess_cache)
     valid_ds = InferenceDataset(args.data_valid, args.valid_reports,
                                 args.valid_metadata, args.valid_labels,
-                                num_samples=args.num_valid_samples)
+                                num_samples=args.num_valid_samples,
+                                cache_dir=args.preprocess_cache)
     # per-process contiguous-interleaved shards, the DistributedSampler
     # pattern of the reference (CTClipTrainer.py:88-105); single-process this
     # is the identity shard

@@ -199,3 +199,39 @@ def test_loader_sharding_and_collation(fake_dataset_dir):
     s0.set_epoch(1)
     assert s0.indices() != loader_mod.ShardedSampler(
         5, num_shards=2, shard_index=0, shuffle=True).indices() or True
+
+
+def test_preprocess_cache_roundtrip(fake_dataset_dir, tmp_path):
+    """Cached __getitem__ returns identical tensors and skips re-decode;
+    a different PreprocessConfig gets its own cache entries."""
+    from ct_clip_ut_tpu.data import datasets as ds_mod
+    from ct_clip_ut_tpu.data.datasets import TrainDataset
+    d = fake_dataset_dir
+    cfg = PreprocessConfig(target_shape_hwd=(32, 32, 24))
+    cache = tmp_path / "ppcache"
+
+    ds = TrainDataset(d / "volumes", d / "reports.csv", d / "metadata.csv",
+                      num_samples=10, preprocess_cfg=cfg, cache_dir=str(cache))
+    img0, _ = ds[0]
+    entries = sorted(cache.glob("*.npy"))
+    assert len(entries) == 1
+
+    # second read must come from the cache, not process_file
+    calls = []
+    orig = ds_mod.process_file
+    ds_mod.process_file = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        img1, _ = ds[0]
+    finally:
+        ds_mod.process_file = orig
+    assert not calls
+    np.testing.assert_array_equal(img0, img1)
+
+    # config change -> distinct key (no stale hit)
+    cfg2 = PreprocessConfig(target_shape_hwd=(16, 16, 8))
+    ds2 = TrainDataset(d / "volumes", d / "reports.csv", d / "metadata.csv",
+                       num_samples=10, preprocess_cfg=cfg2,
+                       cache_dir=str(cache))
+    img2, _ = ds2[0]
+    assert img2.shape != img0.shape
+    assert len(sorted(cache.glob("*.npy"))) == 2

@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache — flagship chains take minutes through the relay
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CTCLIP_JAX_CACHE", "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import flagship_cfg  # noqa: E402
