@@ -195,3 +195,94 @@ def test_pallas_peg_matches_xla(causal, t):
     g1 = jax.grad(loss_fused)(v)
     g2 = jax.grad(loss_ref)(v)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_pallas_block_kernel_under_tensor_parallel_shard_map():
+    """TP ("model"-axis) x Pallas interplay: head-shard the fused attention
+    block exactly the way parallel/sharding.py lays it out under GSPMD —
+    wq/wk/wv column-sharded, wo row-sharded, bias head-sharded — run the
+    kernel per shard (interpret mode on the virtual mesh), psum the
+    row-sharded output projection, and require equality with the unsharded
+    XLA reference."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ct_clip_ut_tpu.ops.pallas_attn_block import (_xla_reference_block,
+                                                      attention_block_fused)
+
+    tp = 4
+    heads, dh, d, n, rows = 8, 16, 128, 32, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    x = jax.random.normal(ks[0], (rows, n, d))
+    gamma = jax.random.normal(ks[1], (d,)) * 0.1 + 1.0
+    wq = jax.random.normal(ks[2], (d, heads * dh)) / np.sqrt(d)
+    wk = jax.random.normal(ks[3], (d, heads * dh)) / np.sqrt(d)
+    wv = jax.random.normal(ks[4], (d, heads * dh)) / np.sqrt(d)
+    wo = jax.random.normal(ks[5], (heads * dh, d)) / np.sqrt(heads * dh)
+    qs = jnp.abs(jax.random.normal(ks[6], (dh,))) + 0.5
+    ksc = jnp.abs(jax.random.normal(ks[7], (dh,))) + 0.5
+    bias = jax.random.normal(jax.random.PRNGKey(8), (heads, n, n))
+
+    ref = _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ksc, bias, 8.0)
+
+    mesh = Mesh(np.array(jax.devices()[:tp]).reshape(1, tp), ("data", "model"))
+
+    @jax.jit
+    def tp_apply(x, gamma, wq, wk, wv, wo, qs, ksc, bias):
+        def shard_fn(x, gamma, wq, wk, wv, wo, qs, ksc, bias):
+            out = attention_block_fused(x, gamma, wq, wk, wv, wo, qs, ksc,
+                                        bias, 8.0, True)  # interpret
+            return jax.lax.psum(out, "model")
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(None, "model"), P(None, "model"),
+                      P(None, "model"), P("model", None), P(), P(),
+                      P("model", None, None)),
+            out_specs=P(), check_rep=False,
+        )(x, gamma, wq, wk, wv, wo, qs, ksc, bias)
+
+    got = tp_apply(x, gamma, wq, wk, wv, wo, qs, ksc, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_geglu_ff_under_tensor_parallel_shard_map():
+    """Same interplay check for the fused GEGLU FF kernel: hidden dim
+    column-sharded in (value/gate), row-sharded out, psum."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ct_clip_ut_tpu.ops.pallas_ff import _xla_reference, geglu_ff_fused
+
+    tp = 4
+    d, inner, n, rows = 128, 256, 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(9), 6)
+    x = jax.random.normal(ks[0], (rows, n, d))
+    gamma = jax.random.normal(ks[1], (d,)) * 0.1 + 1.0
+    beta = jax.random.normal(ks[2], (d,)) * 0.1
+    wv = jax.random.normal(ks[3], (d, inner)) / np.sqrt(d)
+    wg = jax.random.normal(ks[4], (d, inner)) / np.sqrt(d)
+    w2 = jax.random.normal(ks[5], (inner, d)) / np.sqrt(inner)
+
+    ref = _xla_reference(x, gamma, beta, wv, wg, w2)
+
+    mesh = Mesh(np.array(jax.devices()[:tp]).reshape(1, tp), ("data", "model"))
+
+    @jax.jit
+    def tp_apply(x, gamma, beta, wv, wg, w2):
+        def shard_fn(x, gamma, beta, wv, wg, w2):
+            flat = x.reshape(-1, x.shape[-1])
+            out = geglu_ff_fused(flat, gamma, beta, wv, wg, w2, True)
+            return jax.lax.psum(out.reshape(x.shape), "model")
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, "model"), P(None, "model"),
+                      P("model", None)),
+            out_specs=P(), check_rep=False,
+        )(x, gamma, beta, wv, wg, w2)
+
+    got = tp_apply(x, gamma, beta, wv, wg, w2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
