@@ -131,6 +131,40 @@ def upsample_to(volume: Array, target_shape) -> Array:
                             method="trilinear")
 
 
+def _lin_matrix(n_in: int, n_out: int):
+    """[n_out, n_in] half-pixel-center linear interpolation matrix — the
+    per-axis factor of trilinear resize with align_corners=False (same
+    convention as jax.image.resize / torch F.interpolate upsampling)."""
+    import numpy as np
+    c = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(c)
+    w = c - lo
+    i0 = np.clip(lo.astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(lo.astype(np.int64) + 1, 0, n_in - 1)
+    m = np.zeros((n_out, n_in), np.float64)
+    m[np.arange(n_out), i0] += 1.0 - w
+    m[np.arange(n_out), i1] += w
+    return m
+
+
+def upsample_to_host(volume, target_shape):
+    """Host (numpy) twin of `upsample_to`: trilinear [d,h,w] -> target.
+
+    Exists so drivers can fetch attribution maps at GRID resolution (a few
+    hundred KB) and expand on the host, instead of pulling the full
+    ~221 MB upsampled volume across the device->host link per map. Separable
+    matmuls; matches the device resize to float rounding."""
+    import numpy as np
+    v = np.asarray(volume, np.float64)
+    for ax in range(3):
+        # upsample-only: on downscale jax.image.resize anti-aliases (wider
+        # kernel), which this plain linear twin does not reproduce
+        assert target_shape[ax] >= v.shape[ax], (v.shape, target_shape)
+        m = _lin_matrix(v.shape[ax], target_shape[ax])
+        v = np.moveaxis(np.tensordot(m, np.moveaxis(v, ax, 0), axes=1), 0, ax)
+    return v.astype(np.float32)
+
+
 def rot90_ct(volume, k: int = -1):
     """np.rot90(k=-1, axes=(1, 2)) — puts the CT table down
     (reference visualizations.py:423,628-630 etc). Host-side numpy op."""

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CTCLIPConfig
-from .capture import score_captures_and_grads, shiftmax, upsample_to
+from .capture import score_captures_and_grads, shiftmax
 
 Array = jax.Array
 
@@ -91,8 +91,14 @@ def grad_cam_volumes(params, cfg: CTCLIPConfig, text_tokens, image: Array,
 
 def grad_cam_maps(params, cfg: CTCLIPConfig, text_tokens, image: Array,
                   **kw) -> Dict[str, Array]:
-    """Full-resolution [D, H, W] CAMs (pre-rot90), trilinear-upsampled
-    (reference visualizations.py:993-1000)."""
+    """Full-resolution [D, H, W] CAMs (pre-rot90) as HOST numpy arrays,
+    trilinear-upsampled (reference visualizations.py:993-1000). Fetches the
+    grid-resolution CAMs and expands on the host — see rollout.rollout_maps
+    for why (device->host link cost)."""
+    import numpy as np
+
+    from .capture import upsample_to_host
     target = image.shape[-3:]
     vols = grad_cam_volumes(params, cfg, text_tokens, image, **kw)
-    return {k: upsample_to(v, target) for k, v in vols.items()}
+    return {k: upsample_to_host(np.asarray(v), target)
+            for k, v in vols.items()}

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CTCLIPConfig
-from .capture import minmax, score_and_weights, upsample_to
+from .capture import minmax, score_and_weights
 
 Array = jax.Array
 
@@ -88,9 +88,17 @@ def rollout_volumes(params, cfg: CTCLIPConfig, text_tokens, image: Array
 
 
 def rollout_maps(params, cfg: CTCLIPConfig, text_tokens, image: Array):
-    """Full-resolution saliency maps [D, H, W] (pre-rot90), matching the
-    reference's upsampled outputs (visualizations.py:815-816, 840-841)."""
+    """Full-resolution saliency maps [D, H, W] (pre-rot90) as HOST numpy
+    arrays, matching the reference's upsampled outputs
+    (visualizations.py:815-816, 840-841). Only the grid-resolution volumes
+    (~230 KB) cross the device->host link; the trilinear expansion to the
+    ~221 MB scan shape runs on the host (capture.upsample_to_host, a
+    <=1e-5 twin of the device resize) — pulling the expanded maps through
+    the link costs ~10 s/map on relay-attached TPUs."""
+    import numpy as np
+
+    from .capture import upsample_to_host
     target = image.shape[-3:]
     spatial_vol, temporal_vol = rollout_volumes(params, cfg, text_tokens, image)
-    return (upsample_to(spatial_vol, target),
-            upsample_to(temporal_vol, target))
+    return (upsample_to_host(np.asarray(spatial_vol), target),
+            upsample_to_host(np.asarray(temporal_vol), target))

@@ -249,3 +249,19 @@ def test_occlusion_diff_embed_latent_matches_bypass(setup):
                                   text_embeds=embed[None])
     np.testing.assert_allclose(np.asarray(lat),
                                np.asarray(out.text_latents[0]), atol=1e-6)
+
+
+def test_host_upsample_matches_device_resize():
+    """upsample_to_host is a bit-faithful (<=1e-5) twin of the jitted
+    jax.image.resize trilinear path (upsampling, incl. non-integer
+    ratios; downscale anti-aliasing is out of scope — attribution maps
+    only expand grid -> volume)."""
+    import numpy as np
+    from ct_clip_ut_tpu.attribution.capture import upsample_to, upsample_to_host
+    rs = np.random.RandomState(3)
+    for src, dst in [((4, 6, 5), (9, 24, 17)), ((8, 8, 8), (11, 8, 64)),
+                     ((96, 24, 24), (240, 480, 480))]:
+        v = rs.rand(*src).astype(np.float32)
+        want = np.asarray(upsample_to(v, dst))
+        got = upsample_to_host(v, dst)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
