@@ -88,25 +88,33 @@ def continuous_pos_bias(params, *dimensions: int, log_dist: bool = True) -> Arra
     off_flat = off_grid.reshape(-1, c)                     # [O, C]
     table = _cpb_mlp(params, off_flat, log_dist)           # [O, heads]
 
-    # index[i, j] = flat offset id of (pos_i - pos_j)
-    pos_axes = [jnp.arange(d, dtype=jnp.int32) for d in dims]
-    pos = jnp.stack(jnp.meshgrid(*pos_axes, indexing="ij"), axis=-1).reshape(-1, c)
-    rel_idx = pos[:, None, :] - pos[None, :, :]            # [N, N, C]
-    strides = []
-    s = 1
-    for d in reversed(dims):
-        strides.insert(0, s)
-        s *= 2 * d - 1
-    flat_idx = jnp.zeros(rel_idx.shape[:2], jnp.int32)
-    for ax, d in enumerate(dims):
-        flat_idx = flat_idx + (rel_idx[..., ax] + (d - 1)) * strides[ax]
-
-    # gather PER HEAD: a single [N*N, heads] gather output gets lane-padded
-    # heads -> 128 on TPU (21 GB at MaskGit's 6464-token grid); per-head
-    # [N, N] gathers keep the lane dim wide
+    # Expand the offset table to the [N, N] pair grid with one-hot MATMULS
+    # per axis instead of a flat [N*N] gather: TPU gathers run element-wise
+    # on the VPU (~2.4 ms per [576^2] table at the CT-ViT grid, recomputed
+    # per layer by XLA), while the selection matmul is a few-hundred-MFLOP
+    # MXU op. Float-exact (each output row sums exactly one table entry
+    # times 1.0) and differentiable, so the training path shares it.
     heads = table.shape[-1]
-    return jnp.stack([jnp.take(table[:, h], flat_idx, axis=0)
-                      for h in range(heads)])              # [heads, N, N]
+    offs = tuple(2 * d - 1 for d in dims)
+    t = table.reshape(offs + (heads,))                     # [O1..Oc, heads]
+    for ax, d in enumerate(dims):
+        ar = jnp.arange(d)
+        rel = ar[:, None] - ar[None, :] + (d - 1)          # [d, d] offset ids
+        sel = jax.nn.one_hot(rel.reshape(-1), 2 * d - 1,
+                             dtype=jnp.float32)            # [d*d, 2d-1]
+        t = jnp.moveaxis(
+            jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=1), 0, ax)
+    # t: [d1*d1, ..., dc*dc, heads] -> [heads, N, N]
+    pair_shape = []
+    for d in dims:
+        pair_shape += [d, d]
+    t = t.reshape(pair_shape + [heads])
+    perm = ([2 * c] + [2 * k for k in range(c)]
+            + [2 * k + 1 for k in range(c)])
+    n = 1
+    for d in dims:
+        n *= d
+    return t.transpose(perm).reshape(heads, n, n)
 
 
 def causal_mask(i: int, j: int) -> Array:
