@@ -174,6 +174,16 @@ def main() -> None:
 
     extra = {"ref_algorithm_vps": round(ref_vps, 3),
              "zeroshot_batch": BATCH, "timed_steps": STEPS}
+
+    # MFU from XLA's own flop count of the compiled zero-shot program
+    # (v5e bf16 matmul peak: 197 TFLOP/s)
+    try:
+        lowered = zeroshot_probs.lower(params, cfg, image, prompt_latents)
+        flops = lowered.compile().cost_analysis()["flops"]
+        extra["fwd_tflop_per_volume"] = round(flops / BATCH / 1e12, 3)
+        extra["mfu_pct"] = round(100 * flops / BATCH * ours_vps / 197e12, 1)
+    except Exception:
+        pass
     if WITH_ATTRIBUTION:
         extra.update(bench_attribution(params, cfg, image, prompt_tokens))
 

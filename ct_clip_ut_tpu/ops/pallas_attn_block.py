@@ -34,64 +34,68 @@ Array = jax.Array
 def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
             qs_ref, ks_ref, bias_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr,
             *, scale: float, has_bias: bool, heads: int):
-    """Scratches hold q/k/v TRANSPOSED [h*dh, n]: per-head slicing is then a
-    dynamic SUBLANE slice (any multiple of 8 is legal; dynamic LANE slices
-    must be 128-aligned, which dh=32 is not). The transposed layouts come
-    straight out of RHS-transposed dot_generals — no in-kernel transpose."""
-    h = pl.program_id(1)
+    """One grid step = one full sequence: LN + full-width projections, a
+    STATIC loop over heads (scores/softmax/PV), output projection. The head
+    loop lives inside the kernel rather than on the grid — at the flagship
+    spatial stack that is 384 programs instead of 3072, and ~1.5 us of
+    per-program pipeline overhead per step was ~5 ms/layer.
+
+    Scratches hold q/k/v TRANSPOSED [h*dh, n]: per-head slicing is then a
+    static SUBLANE slice (any multiple of 8 is legal; LANE slices must be
+    128-aligned, which dh=32 is not). The transposed layouts come straight
+    out of RHS-transposed dot_generals — no in-kernel transpose."""
     dh = qs_ref.shape[0]
-
-    @pl.when(h == 0)
-    def _():
-        x = x_ref[0]                                  # [N, D]
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
-        xn = (x32 - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
-        xn = (xn * gamma_ref[0]).astype(x.dtype)
-        # full-width projections ([h*dh, D] @contract-minor [N, D] -> [h*dh, N]);
-        # k/v from the PRE-norm input (reference attention.py:138-140)
-        qt_scr[:] = jax.lax.dot_general(
-            wqt_ref[:], xn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        kt_scr[:] = jax.lax.dot_general(
-            wkt_ref[:], x, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        vt_scr[:] = jax.lax.dot_general(
-            wvt_ref[:], x, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    sl = pl.ds(h * dh, dh)
-    qt = qt_scr[sl, :]                                 # [dh, N] fp32
-    kt = kt_scr[sl, :]
-    vt = vt_scr[sl, :]
-
-    qn = jnp.sqrt(jnp.sum(qt * qt, axis=0, keepdims=True))
-    kn = jnp.sqrt(jnp.sum(kt * kt, axis=0, keepdims=True))
-    qt = qt / jnp.maximum(qn, 1e-12) * (qs_ref[:].astype(jnp.float32) * scale)
-    kt = kt / jnp.maximum(kn, 1e-12) * ks_ref[:].astype(jnp.float32)
-
-    s = jax.lax.dot_general(qt, kt, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # [N, N]
-    if has_bias:
-        s = s + bias_ref[0].astype(jnp.float32)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-
     dt = x_ref.dtype
-    # o^T[d, i] = sum_j v^T[d, j] p[i, j]
-    ot_scr[sl, :] = jax.lax.dot_general(
-        vt.astype(dt), p.astype(dt), (((1,), (1,)), ((), ())),
+
+    x = x_ref[0]                                  # [N, D]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    xn = (x32 - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    xn = (xn * gamma_ref[0]).astype(x.dtype)
+    # full-width projections ([h*dh, D] @contract-minor [N, D] -> [h*dh, N]);
+    # k/v from the PRE-norm input (reference attention.py:138-140)
+    qt_scr[:] = jax.lax.dot_general(
+        wqt_ref[:], xn, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    kt_scr[:] = jax.lax.dot_general(
+        wkt_ref[:], x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    vt_scr[:] = jax.lax.dot_general(
+        wvt_ref[:], x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    @pl.when(h == heads - 1)
-    def _():
-        out = jax.lax.dot_general(
-            ot_scr[:].astype(dt), wo_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [N, D]
-        o_ref[0] = out.astype(o_ref.dtype)
+    qsc = qs_ref[:].astype(jnp.float32) * scale
+    ksc = ks_ref[:].astype(jnp.float32)
+    for h in range(heads):                        # static unroll
+        sl = slice(h * dh, (h + 1) * dh)
+        qt = qt_scr[sl, :]                        # [dh, N] fp32
+        kt = kt_scr[sl, :]
+        vt = vt_scr[sl, :]
+
+        qn = jnp.sqrt(jnp.sum(qt * qt, axis=0, keepdims=True))
+        kn = jnp.sqrt(jnp.sum(kt * kt, axis=0, keepdims=True))
+        qt = qt / jnp.maximum(qn, 1e-12) * qsc
+        kt = kt / jnp.maximum(kn, 1e-12) * ksc
+
+        s = jax.lax.dot_general(qt, kt, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [N, N]
+        if has_bias:
+            s = s + bias_ref[h].astype(jnp.float32)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        # o^T[d, i] = sum_j v^T[d, j] p[i, j]
+        ot_scr[sl, :] = jax.lax.dot_general(
+            vt.astype(dt), p.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = jax.lax.dot_general(
+        ot_scr[:].astype(dt), wo_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [N, D]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale):
@@ -173,9 +177,8 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((1, 1, 1), jnp.float32)
-    bias_block = (1, n, n) if has_bias else (1, 1, 1)
-    bias_index = ((lambda i, h: (h, 0, 0)) if has_bias
-                  else (lambda i, h: (0, 0, 0)))
+    bias_block = (heads, n, n) if has_bias else (1, 1, 1)
+    bias_index = lambda i: (0, 0, 0)
 
     gamma2 = gamma.astype(jnp.float32).reshape(1, d)
     qs2 = qs.astype(jnp.float32).reshape(dh, 1)
@@ -184,24 +187,24 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale, has_bias=has_bias,
                           heads=heads),
-        grid=(r, heads),
+        grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
+            pl.BlockSpec((hd, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
+            pl.BlockSpec((hd, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, d), lambda i, h: (0, 0),
+            pl.BlockSpec((hd, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh, 1), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh, 1), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_block, bias_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i, h: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, n, d), x.dtype),
         scratch_shapes=[
@@ -215,5 +218,9 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
                            + n * hd * d),
             bytes_accessed=x.size * 2 * x.dtype.itemsize,
             transcendentals=r * heads * n * n),
+        # the full [heads, N, N] bias is VMEM-resident (10.6 MB at the
+        # flagship grid) on top of the scratches — needs more than the
+        # 16 MB default scoped budget
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(x, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2, bias)

@@ -47,7 +47,7 @@ def _head_mask(n: int, heads: int) -> Array:
 
 
 def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
-            qs_ref, ks_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr, *,
+            qs_ref, ks_ref, neg_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr, *,
             scale: float, heads: int, n: int):
     """R sequences of n tokens form one [m = R*n]-row pseudo-sequence; per
     head, scores are ONE [m, m] matmul with a block-diagonal same-sequence
@@ -75,10 +75,10 @@ def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
     vt_scr[:] = jax.lax.dot_general(wvt_ref[:], x, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
 
-    # same-sequence block-diagonal mask (additive)
-    seq_row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // n
-    seq_col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // n
-    neg = jnp.where(seq_row == seq_col, 0.0, NEG_INF).astype(jnp.float32)
+    # same-sequence block-diagonal mask (additive): precomputed once and
+    # VMEM-resident across grid steps — building it from iotas in-kernel
+    # costs ~4 VPU passes over [m, m] per program
+    neg = neg_ref[:]
 
     qs = qs_ref[:].astype(jnp.float32) * scale       # [dh, 1]
     ks = ks_ref[:].astype(jnp.float32)
@@ -169,8 +169,12 @@ def _bwd(scale, interpret, res, g):
 attention_block_packed.defvjp(_fwd, _bwd)
 
 
-def _pick_rows(b: int, vmem_rows: int = 8) -> int:
-    for r in (vmem_rows, 4, 2):
+def _pick_rows(b: int, vmem_rows: int = 16) -> int:
+    """Sequences per program. Measured at the flagship temporal stack
+    ([9216, 24, 512], v5e): r=8 -> 7.9 ms, r=16 -> 5.9 ms, r=32 -> 7.0 ms
+    (beyond 16 the cross-sequence masked-score waste in the [r*n, r*n]
+    matmul outgrows the per-program overhead saved)."""
+    for r in (vmem_rows, 8, 4, 2):
         if b % r == 0:
             return r
     return 1
@@ -195,6 +199,10 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
     ks2 = ks.astype(jnp.float32).reshape(dh, 1)
 
     m = n * heads
+    rn = r * n
+    seq = jnp.repeat(jnp.arange(r, dtype=jnp.int32), n)
+    neg = jnp.where(seq[:, None] == seq[None, :], 0.0,
+                    NEG_INF).astype(jnp.float32)           # [r*n, r*n]
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale, heads=heads, n=n),
         grid=(b // r,),
@@ -208,6 +216,7 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
             pl.BlockSpec((hd, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dh, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dh, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rn, rn), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -223,4 +232,4 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
             bytes_accessed=x.size * 2 * x.dtype.itemsize,
             transcendentals=b * m * m),
         interpret=interpret,
-    )(x, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2)
+    )(x, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2, neg)
