@@ -90,11 +90,15 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
         times[i] = time.perf_counter() - t0
     out["rollout_maps_per_sec"] = round(1.0 / min(times), 3)
 
-    # integrated gradients (50 steps, reference visualizations.py:851-910)
+    # integrated gradients (50 steps, reference visualizations.py:851-910).
+    # min-of-2: the first post-compile call can overlap persistent-cache
+    # serialization / relay warm-up and read several x slow
     integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS)  # compile
-    t0 = time.perf_counter()
-    integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS)
-    ig_s = time.perf_counter() - t0
+    ig_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS)
+        ig_s = min(ig_s, time.perf_counter() - t0)
     out[f"ig{IG_STEPS}_seconds_per_map"] = round(ig_s, 2)
 
     # occlusion: time OCC_WINDOWS windows of the 23^3 flagship sweep with the
@@ -109,11 +113,13 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
 
     occ_mod.occlusion_scores(params, cfg, image, txt, coords, occ=occ,
                              chunk=chunk)  # compile
-    t0 = time.perf_counter()
-    _, scores = occ_mod.occlusion_scores(params, cfg, image, txt, coords,
-                                         occ=occ, chunk=chunk)
-    np.asarray(scores)
-    occ_s = time.perf_counter() - t0
+    occ_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, scores = occ_mod.occlusion_scores(params, cfg, image, txt, coords,
+                                             occ=occ, chunk=chunk)
+        np.asarray(scores)
+        occ_s = min(occ_s, time.perf_counter() - t0)
     wps = OCC_WINDOWS / occ_s
     out["occlusion_windows_per_sec"] = round(wps, 1)
     out["occlusion_seconds_per_map"] = round(n_full / wps, 1)
