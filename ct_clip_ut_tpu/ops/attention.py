@@ -67,7 +67,8 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
               return_weights: bool = True,
               rng: Optional[Array] = None,
               deterministic: bool = True,
-              use_pallas: Optional[bool] = None) -> AttentionOutput:
+              use_pallas: Optional[bool] = None,
+              residual: bool = False) -> AttentionOutput:
     """Apply cosine-sim attention.
 
     Args:
@@ -76,6 +77,9 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
       context: optional [b, m, dim_context] for cross attention.
       attn_bias: optional [heads, i, j] additive bias (pre-null-kv padding).
       return_weights: emit pre-dropout attention weights (fp32).
+      residual: return block(x) + x. On the fused-kernel paths the add rides
+        the kernel's output write (x is already VMEM-resident) — a separate
+        XLA add is a full extra HBM pass per layer, ~1 ms at flagship shapes.
     """
     b = x.shape[0]
     h = cfg.heads
@@ -101,7 +105,8 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
                 wkv[:, :cfg.inner_dim].astype(dt),
                 wkv[:, cfg.inner_dim:].astype(dt),
                 params["to_out"]["w"].astype(dt),
-                params["q_scale"], params["k_scale"], cfg.scale, False)
+                params["q_scale"], params["k_scale"], cfg.scale, False,
+                residual)
             return AttentionOutput(out, None)
         if (fusable
                 and n_ >= 128 and n_ * n_ * 4 <= 4 * 1024 * 1024):
@@ -115,7 +120,7 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
                 wkv[:, cfg.inner_dim:].astype(dt),
                 params["to_out"]["w"].astype(dt),
                 params["q_scale"], params["k_scale"], attn_bias, cfg.scale,
-                False)
+                False, residual)
             return AttentionOutput(out, None)
 
     if context is not None and cfg.norm_context:
@@ -157,7 +162,8 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
             attn_bias, h, cfg.scale, False)
         out = out.reshape(b, h, n, cfg.dim_head).transpose(0, 2, 1, 3)
         out = out.reshape(b, n, cfg.inner_dim)
-        return AttentionOutput(linear(params["to_out"], out), None)
+        out = linear(params["to_out"], out)
+        return AttentionOutput(out + x if residual else out, None)
 
     if cfg.num_null_kv > 0:
         # null_kv is [h, 2*n_null, d]; reference repeats r=2 then unbinds,
@@ -201,4 +207,5 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
     out = jnp.einsum("bhij,bhjd->bhid", attn, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, -1, cfg.inner_dim)
-    return AttentionOutput(linear(params["to_out"], out), weights)
+    out = linear(params["to_out"], out)
+    return AttentionOutput(out + x if residual else out, weights)

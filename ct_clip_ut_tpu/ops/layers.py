@@ -105,7 +105,8 @@ def init_feedforward(key, dim: int, inner_dim: int):
 
 def feedforward(params, x: Array, *, dropout_rate: float = 0.0,
                 rng: Optional[Array] = None, deterministic: bool = True,
-                use_pallas: Optional[bool] = None) -> Array:
+                use_pallas: Optional[bool] = None,
+                residual: bool = False) -> Array:
     """LN -> Linear(dim, 2*inner) -> GEGLU -> (dropout) -> Linear(inner, dim).
 
     GEGLU splits the doubled projection into (value, gate) halves and returns
@@ -125,7 +126,7 @@ def feedforward(params, x: Array, *, dropout_rate: float = 0.0,
             x.reshape(b * n, d),
             params["norm"]["gamma"], params["norm"]["beta"],
             w[:, :inner].astype(x.dtype), w[:, inner:].astype(x.dtype),
-            params["proj_out"]["w"].astype(x.dtype))
+            params["proj_out"]["w"].astype(x.dtype), False, residual)
         return out.reshape(b, n, d)
 
     h = layernorm(params["norm"], x)
@@ -134,7 +135,8 @@ def feedforward(params, x: Array, *, dropout_rate: float = 0.0,
     h = jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype) * value
     if not deterministic and dropout_rate > 0.0:
         h = dropout(rng, h, dropout_rate, deterministic=False)
-    return linear(params["proj_out"], h)
+    out = linear(params["proj_out"], h)
+    return out + x if residual else out
 
 
 # ---------------------------------------------------------------------------

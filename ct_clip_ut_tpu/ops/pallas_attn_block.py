@@ -33,7 +33,8 @@ Array = jax.Array
 
 def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
             qs_ref, ks_ref, bias_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr,
-            *, scale: float, has_bias: bool, heads: int):
+            *, scale: float, has_bias: bool, heads: int,
+            residual: bool = False):
     """One grid step = one full sequence: LN + full-width projections, a
     STATIC loop over heads (scores/softmax/PV), output projection. The head
     loop lives inside the kernel rather than on the grid — at the flagship
@@ -95,10 +96,13 @@ def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
     out = jax.lax.dot_general(
         ot_scr[:].astype(dt), wo_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)        # [N, D]
+    if residual:                                   # x is already resident:
+        out = out + x32                            # no separate HBM add pass
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale):
+def _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale,
+                         residual: bool = False):
     """Pure-XLA twin (backward + tests). Weight layouts: wq/wk/wv [D, h*dh]
     column blocks per head, wo [h*dh, D]."""
     d = x.shape[-1]
@@ -128,33 +132,38 @@ def _xla_reference_block(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale):
     o = jnp.einsum("rhnm,rhme->rhne", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], heads * dh)
-    return (o @ wo.astype(x.dtype)).astype(x.dtype)
+    o = (o @ wo.astype(x.dtype)).astype(x.dtype)
+    return o + x if residual else o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def attention_block_fused(x, gamma, wq, wk, wv, wo, qs, ks, bias,
-                          scale: float = 8.0, interpret: bool = False):
+                          scale: float = 8.0, interpret: bool = False,
+                          residual: bool = False):
     """x: [R, N, D]; gamma: [D]; wq/wk/wv: [D, h*dh]; wo: [h*dh, D];
-    qs/ks: [dh]; bias: optional [H, N, N]. Returns [R, N, D] pre-residual."""
+    qs/ks: [dh]; bias: optional [H, N, N]. Returns [R, N, D] — pre-residual,
+    or with the +x residual folded into the kernel's output write when
+    residual=True (saves a separate full-HBM add pass per layer)."""
     return _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks, bias,
-                         scale=scale, interpret=interpret)
+                         scale=scale, interpret=interpret, residual=residual)
 
 
-def _blk_fwd(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale, interpret):
+def _blk_fwd(x, gamma, wq, wk, wv, wo, qs, ks, bias, scale, interpret,
+             residual):
     out = _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks, bias,
-                        scale=scale, interpret=interpret)
+                        scale=scale, interpret=interpret, residual=residual)
     return out, (x, gamma, wq, wk, wv, wo, qs, ks, bias)
 
 
-def _blk_bwd(scale, interpret, res, g):
+def _blk_bwd(scale, interpret, residual, res, g):
     x, gamma, wq, wk, wv, wo, qs, ks, bias = res
     diff = (x, gamma, wq, wk, wv, wo, qs, ks) + ((bias,) if bias is not None else ())
 
     def f(*args):
         if bias is not None:
             *xs, b = args
-            return _xla_reference_block(*xs, b, scale)
-        return _xla_reference_block(*args, None, scale)
+            return _xla_reference_block(*xs, b, scale, residual)
+        return _xla_reference_block(*args, None, scale, residual)
 
     _, vjp = jax.vjp(f, *diff)
     grads = vjp(g)
@@ -166,10 +175,12 @@ def _blk_bwd(scale, interpret, res, g):
 attention_block_fused.defvjp(_blk_fwd, _blk_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "residual"))
 def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
                   bias: Optional[Array] = None, *,
-                  scale: float = 8.0, interpret: bool = False):
+                  scale: float = 8.0, interpret: bool = False,
+                  residual: bool = False):
     r, n, d = x.shape
     hd = wq.shape[1]
     dh = qs.shape[-1]
@@ -186,7 +197,7 @@ def _forward_impl(x, gamma, wq, wk, wv, wo, qs, ks,
 
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale, has_bias=has_bias,
-                          heads=heads),
+                          heads=heads, residual=residual),
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),

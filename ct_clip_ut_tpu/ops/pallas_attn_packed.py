@@ -48,7 +48,7 @@ def _head_mask(n: int, heads: int) -> Array:
 
 def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
             qs_ref, ks_ref, neg_ref, o_ref, qt_scr, kt_scr, vt_scr, ot_scr, *,
-            scale: float, heads: int, n: int):
+            scale: float, heads: int, n: int, residual: bool = False):
     """R sequences of n tokens form one [m = R*n]-row pseudo-sequence; per
     head, scores are ONE [m, m] matmul with a block-diagonal same-sequence
     mask (off-diagonal exp(-inf) terms vanish, so softmax/PV equal the
@@ -106,10 +106,13 @@ def _kernel(x_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
     out = jax.lax.dot_general(ot_scr[:].astype(dt), wo_ref[:],
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # [m, D]
+    if residual:                                   # x already resident
+        out = out + x32
     o_ref[:] = out.reshape(r, n, d).astype(o_ref.dtype)
 
 
-def packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale: float):
+def packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale: float,
+                         residual: bool = False):
     """Packed XLA twin (backward path + off-TPU forward). Weight layouts:
     wq/wk/wv [D, h*dh] (column blocks per head), wo [h*dh, D]."""
     b, n, d = x.shape
@@ -141,28 +144,32 @@ def packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale: float):
     o = jnp.einsum("bij,bjd->bid", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     o = o.reshape(b, n, heads * dh)
-    return (o @ wo.astype(x.dtype)).astype(x.dtype)
+    o = (o @ wo.astype(x.dtype)).astype(x.dtype)
+    return o + x if residual else o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def attention_block_packed(x, gamma, wq, wk, wv, wo, qs, ks,
-                           scale: float = 8.0, interpret: bool = False):
+                           scale: float = 8.0, interpret: bool = False,
+                           residual: bool = False):
     """Fused short-sequence attention block. x: [B, n, D]; gamma: [D];
-    wq/wk/wv: [D, h*dh]; wo: [h*dh, D]; qs/ks: [dh].
-    Returns [B, n, D] pre-residual block output."""
-    return _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret)
+    wq/wk/wv: [D, h*dh]; wo: [h*dh, D]; qs/ks: [dh]. Returns [B, n, D] —
+    pre-residual, or with +x folded into the output write (residual=True)."""
+    return _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret,
+                    residual)
 
 
-def _fwd(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
-    out = _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret)
+def _fwd(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret, residual):
+    out = _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret,
+                   residual)
     return out, (x, gamma, wq, wk, wv, wo, qs, ks)
 
 
-def _bwd(scale, interpret, res, g):
+def _bwd(scale, interpret, residual, res, g):
     x, gamma, wq, wk, wv, wo, qs, ks = res
     _, vjp = jax.vjp(
-        lambda *a: packed_attention_xla(*a, scale), x, gamma, wq, wk, wv,
-        wo, qs, ks)
+        lambda *a: packed_attention_xla(*a, scale, residual), x, gamma, wq,
+        wk, wv, wo, qs, ks)
     return vjp(g)
 
 
@@ -183,15 +190,18 @@ def _pick_rows(b: int, vmem_rows: int = 16) -> int:
 _USE_KERNEL = True
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "residual"))
+def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret,
+             residual=False):
     b, n, d = x.shape
     hd = wq.shape[1]
     dh = qs.shape[-1]
     heads = hd // dh
 
     if (jax.default_backend() != "tpu" or not _USE_KERNEL) and not interpret:
-        return packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale)
+        return packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale,
+                                    residual)
 
     r = _pick_rows(b)
     gamma2 = gamma.astype(jnp.float32).reshape(1, d)
@@ -204,7 +214,8 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret):
     neg = jnp.where(seq[:, None] == seq[None, :], 0.0,
                     NEG_INF).astype(jnp.float32)           # [r*n, r*n]
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, heads=heads, n=n),
+        functools.partial(_kernel, scale=scale, heads=heads, n=n,
+                          residual=residual),
         grid=(b // r,),
         in_specs=[
             pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),

@@ -39,7 +39,8 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _kernel(x_ref, gamma_ref, beta_ref, wv_ref, wg_ref, w2_ref, o_ref):
+def _kernel(x_ref, gamma_ref, beta_ref, wv_ref, wg_ref, w2_ref, o_ref, *,
+            residual: bool = False):
     x = x_ref[:].astype(jnp.float32)                 # [TN, dim]
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
@@ -52,12 +53,14 @@ def _kernel(x_ref, gamma_ref, beta_ref, wv_ref, wg_ref, w2_ref, o_ref):
     gate = jax.lax.dot_general(xn, wg_ref[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     h = (_gelu_exact(gate) * value).astype(o_ref.dtype)
-    o_ref[:] = jax.lax.dot_general(h, w2_ref[:], (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32
-                                   ).astype(o_ref.dtype)
+    out = jax.lax.dot_general(h, w2_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if residual:                                     # x already resident
+        out = out + x
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _xla_reference(x, gamma, beta, wv, wg, w2):
+def _xla_reference(x, gamma, beta, wv, wg, w2, residual: bool = False):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
@@ -65,32 +68,37 @@ def _xla_reference(x, gamma, beta, wv, wg, w2):
     value = (xn @ wv).astype(jnp.float32)
     gate = (xn @ wg).astype(jnp.float32)
     h = (jax.nn.gelu(gate, approximate=False) * value).astype(x.dtype)
-    return h @ w2
+    out = h @ w2
+    return out + x if residual else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def geglu_ff_fused(x: Array, gamma: Array, beta: Array,
                    wv: Array, wg: Array, w2: Array,
-                   interpret: bool = False) -> Array:
-    """x: [N, dim]; gamma/beta: [dim]; wv/wg: [dim, inner]; w2: [inner, dim]."""
-    return _forward_impl(x, gamma, beta, wv, wg, w2, interpret=interpret)
+                   interpret: bool = False, residual: bool = False) -> Array:
+    """x: [N, dim]; gamma/beta: [dim]; wv/wg: [dim, inner]; w2: [inner, dim].
+    residual=True folds the +x into the kernel's output write."""
+    return _forward_impl(x, gamma, beta, wv, wg, w2, interpret=interpret,
+                         residual=residual)
 
 
-def _ff_fwd(x, gamma, beta, wv, wg, w2, interpret):
-    return (_forward_impl(x, gamma, beta, wv, wg, w2, interpret=interpret),
+def _ff_fwd(x, gamma, beta, wv, wg, w2, interpret, residual):
+    return (_forward_impl(x, gamma, beta, wv, wg, w2, interpret=interpret,
+                          residual=residual),
             (x, gamma, beta, wv, wg, w2))
 
 
-def _ff_bwd(interpret, res, g):
-    _, vjp = jax.vjp(_xla_reference, *res)
+def _ff_bwd(interpret, residual, res, g):
+    _, vjp = jax.vjp(lambda *a: _xla_reference(*a, residual), *res)
     return vjp(g)
 
 
 geglu_ff_fused.defvjp(_ff_fwd, _ff_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _forward_impl(x, gamma, beta, wv, wg, w2, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "residual"))
+def _forward_impl(x, gamma, beta, wv, wg, w2, *, interpret=False,
+                  residual=False):
     n, dim = x.shape
     inner = wv.shape[1]
 
@@ -103,7 +111,7 @@ def _forward_impl(x, gamma, beta, wv, wg, w2, *, interpret=False):
     beta2 = beta.astype(jnp.float32).reshape(1, dim)
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, residual=residual),
         grid=(np_ // tn,),
         in_specs=[
             pl.BlockSpec((tn, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -71,22 +71,22 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
                  and taps.capture_all is False)
 
     def plain_layer(layer, x, r_attn, r_cross, r_ff):
+        # residual=True folds the +x into each fused kernel's output write
+        # (a separate XLA add is an extra full-HBM pass per block)
         if cfg.peg:
             x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal)
-        attn_out, _ = attention(
+        x, _ = attention(
             layer["self_attn"], cfg.self_attn(), x,
             attn_bias=attn_bias, mask=self_attn_mask, return_weights=False,
-            rng=r_attn, deterministic=deterministic)
-        x = attn_out + x
+            rng=r_attn, deterministic=deterministic, residual=True)
         if cfg.has_cross_attn and context is not None:
-            cross_out, _ = attention(
+            x, _ = attention(
                 layer["cross_attn"], cfg.cross_attn(), x, context=context,
                 mask=cross_attn_context_mask, return_weights=False,
-                rng=r_cross, deterministic=deterministic)
-            x = cross_out + x
-        ff_out = feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
-                             rng=r_ff, deterministic=deterministic)
-        return ff_out + x
+                rng=r_cross, deterministic=deterministic, residual=True)
+        return feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
+                           rng=r_ff, deterministic=deterministic,
+                           residual=True)
 
     if use_remat:
         remat_layer = jax.checkpoint(plain_layer,
@@ -108,36 +108,57 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
         else:
             r_attn = r_cross = r_ff = None
 
+        want_w = return_weights or taps.wants(f"{scope}{i}.attn_weights")
+        # the pre-residual block output is an attribution contract point
+        # (capture AND injection); fuse the residual only when nothing
+        # observes it
+        tapped = (f"{scope}{i}.attn_out" in taps.inject
+                  or taps.wants(f"{scope}{i}.attn_out"))
         attn_out, w = attention(
             layer["self_attn"], cfg.self_attn(), x,
             attn_bias=attn_bias, mask=self_attn_mask,
-            return_weights=return_weights or taps.wants(f"{scope}{i}.attn_weights"),
-            rng=r_attn, deterministic=deterministic)
-        attn_out = taps.tap(f"{scope}{i}.attn_out", attn_out)
+            return_weights=want_w,
+            rng=r_attn, deterministic=deterministic,
+            residual=not tapped)
         if w is not None:
             w = taps.tap(f"{scope}{i}.attn_weights", w)
         if return_weights:
             self_weights.append(w)
-        x = attn_out + x
+        if tapped:
+            attn_out = taps.tap(f"{scope}{i}.attn_out", attn_out)
+            x = attn_out + x
+        else:
+            x = attn_out
 
         if cfg.has_cross_attn and context is not None:
             want_cw = return_weights or taps.wants(f"{scope}{i}.cross_attn_weights")
+            cross_tapped = (f"{scope}{i}.cross_attn_out" in taps.inject
+                            or taps.wants(f"{scope}{i}.cross_attn_out"))
             cross_out, cw = attention(
                 layer["cross_attn"], cfg.cross_attn(), x,
                 context=context, mask=cross_attn_context_mask,
                 return_weights=want_cw, rng=r_cross,
-                deterministic=deterministic)
-            cross_out = taps.tap(f"{scope}{i}.cross_attn_out", cross_out)
+                deterministic=deterministic, residual=not cross_tapped)
             if cw is not None:
                 cw = taps.tap(f"{scope}{i}.cross_attn_weights", cw)
             if return_weights:
                 cross_weights.append(cw)
-            x = cross_out + x
+            if cross_tapped:
+                cross_out = taps.tap(f"{scope}{i}.cross_attn_out", cross_out)
+                x = cross_out + x
+            else:
+                x = cross_out
 
+        ff_tapped = (f"{scope}{i}.ff_out" in taps.inject
+                     or taps.wants(f"{scope}{i}.ff_out"))
         ff_out = feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
-                             rng=r_ff, deterministic=deterministic)
-        ff_out = taps.tap(f"{scope}{i}.ff_out", ff_out)
-        x = ff_out + x
+                             rng=r_ff, deterministic=deterministic,
+                             residual=not ff_tapped)
+        if ff_tapped:
+            ff_out = taps.tap(f"{scope}{i}.ff_out", ff_out)
+            x = ff_out + x
+        else:
+            x = ff_out
 
     out = layernorm(params["norm_out"], x)
     aux = TransformerAux(

@@ -286,3 +286,66 @@ def test_pallas_geglu_ff_under_tensor_parallel_shard_map():
     got = tp_apply(x, gamma, beta, wv, wg, w2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_residual_fusion_matches_external_add():
+    """residual=True (the +x rides the kernel's output write) equals
+    out + x across kernels (interpret mode) and the XLA fallback paths."""
+    from ct_clip_ut_tpu.ops import layers as L
+    cfg = AttentionConfig(dim=64, dim_head=16, heads=4)
+    p = A.init_attention(KEY, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 16, 64))
+
+    out, _ = A.attention(p, cfg, x, return_weights=False, use_pallas=False)
+    res, _ = A.attention(p, cfg, x, return_weights=False, use_pallas=False,
+                         residual=True)
+    np.testing.assert_allclose(np.asarray(res), np.asarray(out + x), atol=1e-6)
+
+    from ct_clip_ut_tpu.ops.pallas_attn_block import attention_block_fused
+    from ct_clip_ut_tpu.ops.pallas_attn_packed import attention_block_packed
+    wq = p["to_q"]["w"]
+    wk = p["to_kv"]["w"][:, :64]
+    wv = p["to_kv"]["w"][:, 64:]
+    wo = p["to_out"]["w"]
+    base = attention_block_fused(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                 p["q_scale"], p["k_scale"], None,
+                                 cfg.scale, True, False)
+    fused = attention_block_fused(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                  p["q_scale"], p["k_scale"], None,
+                                  cfg.scale, True, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base + x),
+                               atol=2e-5)
+
+    basep = attention_block_packed(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                   p["q_scale"], p["k_scale"], cfg.scale,
+                                   True, False)
+    fusedp = attention_block_packed(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                    p["q_scale"], p["k_scale"], cfg.scale,
+                                    True, True)
+    np.testing.assert_allclose(np.asarray(fusedp), np.asarray(basep + x),
+                               atol=2e-5)
+
+    from ct_clip_ut_tpu.ops.pallas_ff import geglu_ff_fused
+    fp = L.init_feedforward(KEY, 64, 128)
+    w = fp["proj_in"]["w"]
+    x2 = x.reshape(-1, 64)
+    b0 = geglu_ff_fused(x2, fp["norm"]["gamma"], fp["norm"]["beta"],
+                        w[:, :128], w[:, 128:], fp["proj_out"]["w"], True)
+    b1 = geglu_ff_fused(x2, fp["norm"]["gamma"], fp["norm"]["beta"],
+                        w[:, :128], w[:, 128:], fp["proj_out"]["w"], True,
+                        True)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0 + x2), atol=2e-5)
+
+    # XLA fallback of the public feedforward wrapper honors residual too
+    ff0 = L.feedforward(fp, x, use_pallas=False)
+    ff1 = L.feedforward(fp, x, use_pallas=False, residual=True)
+    np.testing.assert_allclose(np.asarray(ff1), np.asarray(ff0 + x), atol=1e-6)
+
+    # grads flow through the residual-fused custom VJPs
+    g = jax.grad(lambda x: float(0) + (attention_block_packed(
+        x, p["norm"]["gamma"], wq, wk, wv, wo, p["q_scale"], p["k_scale"],
+        cfg.scale, True, True) ** 2).sum())(x)
+    g_ref = jax.grad(lambda x: ((attention_block_packed(
+        x, p["norm"]["gamma"], wq, wk, wv, wo, p["q_scale"], p["k_scale"],
+        cfg.scale, True, False) + x) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
