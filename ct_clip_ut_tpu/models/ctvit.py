@@ -85,6 +85,19 @@ def _patch_embed_conv(p, image: Array, patch: int, t_patch: int,
     s1 = (w * gamma[:, None]).sum(axis=0)                    # [dim]
     bias = beta @ w + p["proj"].get("b", jnp.zeros((dim,))).astype(jnp.float32)
 
+    # fully-fused Pallas path: rearrange + per-wv MXU matmuls + both LNs in
+    # one HBM pass (ops/pallas_patch_embed.py) — the XLA lowering below
+    # spends ~17 ms/batch in three full-volume layout copies at flagship
+    # shapes. Falls back off-TPU / for multi-channel inputs.
+    if (jax.default_backend() == "tpu" and c == 1
+            and T % t_patch == 0 and H % patch == 0 and W % patch == 0):
+        from ..ops.pallas_patch_embed import patch_embed_fused
+        k1d_f = wg.reshape(c * t_patch * patch, patch, dim).transpose(1, 0, 2)
+        out = patch_embed_fused(image, k1d_f, s1,
+                                bias, p["norm_out"]["gamma"],
+                                p["norm_out"]["beta"], patch, t_patch)
+        return out
+
     # Temporal patches don't overlap, so the 3D conv factorizes into a 1D
     # conv over W with (c * t_patch * p1) = 200 input channels after folding
     # the H-within-patch rows into channels. Layout rules this respects

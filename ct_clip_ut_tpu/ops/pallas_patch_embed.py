@@ -1,0 +1,213 @@
+"""Fused Pallas TPU kernel for the CT-ViT patch embedding.
+
+Semantics: patchify -> LayerNorm(patch_dim) -> Linear(patch_dim, dim) ->
+LayerNorm(dim) (reference ctvit.py:44-52), in the algebraically LN-folded
+conv formulation of models/ctvit._patch_embed_conv.
+
+Why a kernel: XLA lowers that formulation as three full-volume layout
+copies (raw-input relayout, the (b t hp cin W) transpose, the conv-input
+im2col) plus separate moment reductions — ~29.6 ms at flagship B=16 where
+the information-theoretic cost is one read of the 1.8 GB volume + one write
+of the 226 MB token grid (~4.4 ms) + a 906 GFLOP matmul (~5 ms). Here each
+grid step (b, t-frame) does everything VMEM-resident:
+
+  * the (tv, hp, p1, w) -> (wv, hp*pw, cin) rearrangement is two sublane
+    permutations, one batched lane transpose and free row-major reshapes —
+    no HBM round-trips. The one layout rule: never materialize a minor dim
+    of `patch`(=20) in HBM (T(8,128) pads 20 -> 128); in-kernel VMEM values
+    are Mosaic's problem, and the matmul operands end (576, cin) / (cin, D);
+  * the strided conv runs as `patch` MXU matmuls [hp*wp, cin] @ [cin, dim]
+    (one per within-patch column wv) accumulated in fp32 — exactly the
+    useful FLOPs, no im2col materialization;
+  * per-patch LN1 moments ride a channel reduce + one [hp, W] @ [W, wp]
+    block-ones matmul; LN1 (folded) and LN2 apply before the single output
+    write.
+
+Backward = XLA recompute via custom VJP against `_xla_twin` (the 1D-conv
+formulation restated over this kernel's raw operands), same pattern as the
+attention/FF kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _kernel(x_ref, kw_ref, s1_ref, b1_ref, g2_ref, b2_ref, o_ref, *,
+            patch: int, t_patch: int, eps: float):
+    _, _, _, H, W = x_ref.shape
+    hp, wp = H // patch, W // patch
+    cin = t_patch * patch
+    dim = kw_ref.shape[-1]
+    f32 = jnp.float32
+
+    x = x_ref[0, 0]                                    # [t_patch, H, W]
+    x4 = x.reshape(t_patch, hp, patch, W)              # [tv, hp, p1, w]
+    xa = x4.transpose(1, 0, 2, 3).reshape(hp, cin, W)  # [hp, cin, w]
+
+    # per-patch LN1 moments: channel reduce + block-ones lane grouping on
+    # the MXU; the (hp, wp) grid broadcasts over dim BEFORE the row merge
+    # (a lane->sublane merging reshape of a 2-d vector is not a legal
+    # Mosaic shape cast, but broadcast-then-merge is)
+    patch_dim = cin * patch
+    xs = xa.astype(f32)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, wp), 0) // patch
+    pw_iota = jax.lax.broadcasted_iota(jnp.int32, (W, wp), 1)
+    inc = (w_iota == pw_iota).astype(f32)              # [W, wp]
+    sum1 = jax.lax.dot_general(jnp.sum(xs, axis=1), inc,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)   # [hp, wp]
+    sum2 = jax.lax.dot_general(jnp.sum(xs * xs, axis=1), inc,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    mean2 = sum1 / patch_dim
+    var2 = jnp.maximum(sum2 / patch_dim - mean2 * mean2, 0.0)
+    mean = jnp.broadcast_to(mean2[:, :, None],
+                            (hp, wp, dim)).reshape(hp * wp, dim)
+    var = jnp.broadcast_to(var2[:, :, None],
+                           (hp, wp, dim)).reshape(hp * wp, dim)
+
+    # lane<->sublane transpose via an MXU identity contraction — Mosaic's
+    # native shuffle transpose of a [cin, W] bf16 tile stack measures far
+    # slower than the 0.9 GFLOP identity matmul
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (cin, cin), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (cin, cin), 1)
+           ).astype(x.dtype)
+    xt = jax.lax.dot_general(xa, eye, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32).astype(x.dtype)
+    xt = xt.reshape(hp, wp, patch, cin)                # [hp, pw, wv, cin]
+    xt = xt.transpose(2, 0, 1, 3).reshape(patch, hp * wp, cin)
+
+    # strided conv as per-wv MXU matmuls accumulated in fp32
+    acc = jnp.zeros((hp * wp, dim), f32)
+    for wv in range(patch):                            # static unroll
+        acc = acc + jax.lax.dot_general(
+            xt[wv], kw_ref[wv], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    # folded LN1 + bias; LN2 runs on the compute-dtype-cast h (matching the
+    # XLA path, which norms h AFTER the .astype(image.dtype))
+    h = (acc - mean * s1_ref[0]) * jax.lax.rsqrt(var + eps) + b1_ref[0]
+    h = h.astype(o_ref.dtype).astype(f32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    v = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
+    out = (h - mu) * jax.lax.rsqrt(jnp.maximum(v, 0.0) + eps)
+    out = out * g2_ref[0] + b2_ref[0]
+    o_ref[0, 0] = out.reshape(hp, wp, dim).astype(o_ref.dtype)
+
+
+def _xla_twin(image, kw, s1, b1, g2, b2, patch, t_patch, eps=1e-5):
+    """XLA restatement over the kernel's raw operands (backward path /
+    off-TPU forward) — the 1D-conv formulation of ctvit._patch_embed_conv."""
+    b, c, T, H, W = image.shape
+    t, hp, wp = T // t_patch, H // patch, W // patch
+    cin = c * t_patch * patch
+    dim = kw.shape[-1]
+    patch_dim = cin * patch
+
+    x1d = image.reshape(b, c, t, t_patch, hp, patch, W)
+    x1d = x1d.transpose(0, 2, 4, 1, 3, 5, 6).reshape(b * t * hp, cin, W)
+    conv = jax.lax.conv_general_dilated(
+        x1d[:, :, None, :], kw.astype(image.dtype)[None],
+        window_strides=(1, patch), padding="VALID",
+        dimension_numbers=("NCHW", "HWIO", "NHWC")).astype(jnp.float32)
+    conv = conv.reshape(b * t, hp, wp, dim)
+
+    inc = jnp.kron(jnp.eye(wp, dtype=jnp.float32),
+                   jnp.ones((patch, 1), jnp.float32))
+    x32 = x1d.astype(jnp.float32)
+    sum1 = (x32.sum(axis=1) @ inc).reshape(b * t, hp, wp)
+    sum2 = ((x32 * x32).sum(axis=1) @ inc).reshape(b * t, hp, wp)
+    mean = (sum1 / patch_dim)[..., None]
+    var = jnp.maximum((sum2 / patch_dim)[..., None] - mean * mean, 0.0)
+
+    h = (conv - mean * s1) * jax.lax.rsqrt(var + eps) + b1
+    h = h.astype(image.dtype).astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    v = jnp.var(h, axis=-1, keepdims=True)
+    out = (h - mu) * jax.lax.rsqrt(v + eps) * g2 + b2
+    return out.reshape(b, t, hp, wp, dim).astype(image.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def patch_embed_fused(image: Array, kw: Array, s1: Array, b1: Array,
+                      g2: Array, b2: Array, patch: int, t_patch: int,
+                      interpret: bool = False) -> Array:
+    """Fused patchify+LN+proj+LN.
+
+    Args:
+      image: [B, 1, T, H, W] volume.
+      kw: [patch(wv), cin=(c t_patch p1), dim] gamma-folded projection (the
+          `k1d` of ctvit._patch_embed_conv).
+      s1: [dim] sum_i gamma_i W_i (mean-correction row).
+      b1: [dim] beta @ W + proj bias.
+      g2/b2: [dim] output LayerNorm scale/bias.
+    Returns [B, T//t_patch, H//patch, W//patch, dim] in image dtype.
+    """
+    return _forward_impl(image, kw, s1, b1, g2, b2, patch=patch,
+                         t_patch=t_patch, interpret=interpret)
+
+
+def _pe_fwd(image, kw, s1, b1, g2, b2, patch, t_patch, interpret):
+    out = _forward_impl(image, kw, s1, b1, g2, b2, patch=patch,
+                        t_patch=t_patch, interpret=interpret)
+    return out, (image, kw, s1, b1, g2, b2)
+
+
+def _pe_bwd(patch, t_patch, interpret, res, g):
+    image, kw, s1, b1, g2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_twin(*a, patch, t_patch), image, kw, s1, b1, g2, b2)
+    return vjp(g)
+
+
+patch_embed_fused.defvjp(_pe_fwd, _pe_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "t_patch", "interpret"))
+def _forward_impl(image, kw, s1, b1, g2, b2, *, patch, t_patch, interpret):
+    b, c, T, H, W = image.shape
+    assert c == 1, "kernel path is for single-channel CT volumes"
+    t, hp, wp = T // t_patch, H // patch, W // patch
+    dim = kw.shape[-1]
+
+    kwd = kw.astype(image.dtype)
+    row = lambda a: a.astype(jnp.float32).reshape(1, dim)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, patch=patch, t_patch=t_patch, eps=1e-5),
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, t_patch, H, W),
+                         lambda bi, ti: (bi, 0, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kwd.shape, lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hp, wp, dim),
+                               lambda bi, ti: (bi, ti, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, hp, wp, dim), image.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * hp * wp * dim * t_patch * patch * patch,
+            bytes_accessed=image.size * image.dtype.itemsize
+            + b * t * hp * wp * dim * image.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(image, kwd, row(s1), row(b1), row(g2), row(b2))

@@ -349,3 +349,53 @@ def test_residual_fusion_matches_external_add():
         x, p["norm"]["gamma"], wq, wk, wv, wo, p["q_scale"], p["k_scale"],
         cfg.scale, True, False) + x) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
+def test_pallas_patch_embed_matches_conv_formulation():
+    """Fused patch-embed kernel (interpret) == the XLA conv formulation ==
+    the explicit patchify+LN+Linear+LN path; grads flow via the XLA twin."""
+    from ct_clip_ut_tpu.models import ctvit as V
+    from ct_clip_ut_tpu.ops.pallas_patch_embed import (_xla_twin,
+                                                       patch_embed_fused)
+
+    patch, t_patch, dim = 4, 2, 128
+    b, T, H, W = 2, 6, 16, 16
+    key = jax.random.PRNGKey(11)
+    patch_dim = t_patch * patch * patch
+    p = {
+        "norm_in": {"gamma": jax.random.normal(key, (patch_dim,)) * 0.2 + 1.0,
+                    "beta": jax.random.normal(jax.random.PRNGKey(12),
+                                              (patch_dim,)) * 0.1},
+        "proj": {"w": jax.random.normal(jax.random.PRNGKey(13),
+                                        (patch_dim, dim)) / 8.0,
+                 "b": jax.random.normal(jax.random.PRNGKey(14), (dim,)) * 0.1},
+        "norm_out": {"gamma": jax.random.normal(jax.random.PRNGKey(15),
+                                                (dim,)) * 0.2 + 1.0,
+                     "beta": jax.random.normal(jax.random.PRNGKey(16),
+                                               (dim,)) * 0.1},
+    }
+    img = jax.random.normal(jax.random.PRNGKey(17), (b, 1, T, H, W))
+
+    ref = V._patch_embed(p, V.patchify(img, patch, t_patch))
+
+    gamma = p["norm_in"]["gamma"]
+    w = p["proj"]["w"]
+    wg = (w * gamma[:, None]).reshape(1, t_patch, patch, patch, dim)
+    s1 = (w * gamma[:, None]).sum(axis=0)
+    bias = p["norm_in"]["beta"] @ w + p["proj"]["b"]
+    k1d = wg.reshape(t_patch * patch, patch, dim).transpose(1, 0, 2)
+
+    twin = _xla_twin(img, k1d, s1, bias, p["norm_out"]["gamma"],
+                     p["norm_out"]["beta"], patch, t_patch)
+    np.testing.assert_allclose(np.asarray(twin), np.asarray(ref), atol=2e-5)
+
+    got = patch_embed_fused(img, k1d, s1, bias, p["norm_out"]["gamma"],
+                            p["norm_out"]["beta"], patch, t_patch, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g1 = jax.grad(lambda im: (patch_embed_fused(
+        im, k1d, s1, bias, p["norm_out"]["gamma"], p["norm_out"]["beta"],
+        patch, t_patch, True) ** 2).sum())(img)
+    g2 = jax.grad(lambda im: (V._patch_embed(
+        p, V.patchify(im, patch, t_patch)) ** 2).sum())(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
