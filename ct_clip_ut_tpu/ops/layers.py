@@ -204,7 +204,22 @@ def peg_residual(params, x: Array, video_shape: Tuple[int, int, int, int],
         use_pallas = False
     if not (use_pallas and jax.default_backend() == "tpu"
             and dim % 128 == 0 and h >= 3 and w >= 3):
-        return peg(params, x, video_shape, causal=causal) + x
+        # add the residual in VIDEO form so XLA fuses bias + residual +
+        # convert into the conv's epilogue fusion: `peg(x) + x` adds after
+        # the reshape back to token form, and the reshape/convert barrier
+        # left a separate full-HBM add pass (~1 ms/layer at flagship B=16)
+        orig_shape = x.shape
+        v = x.reshape(b, t, h, w, dim)
+        frame_pad = (2, 0) if causal else (1, 1)
+        out = jax.lax.conv_general_dilated(
+            v, params["w"].astype(v.dtype),
+            window_strides=(1, 1, 1),
+            padding=(frame_pad, (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=dim,
+        )
+        out = out.astype(jnp.float32) + params["b"] + v.astype(jnp.float32)
+        return out.astype(x.dtype).reshape(orig_shape)
 
     from .pallas_peg import peg_fused
     v = x.reshape(b, t, h, w, dim)

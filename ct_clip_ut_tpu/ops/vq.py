@@ -84,8 +84,11 @@ def vq_lookup(state: VQState, x: Array) -> Tuple[Array, Array]:
     shape = x.shape
     flat = l2norm(x.reshape(-1, shape[-1]).astype(jnp.float32))
     idx = _nearest(state.embed, flat, compute_dtype=x.dtype)
-    quant = jnp.take(state.embed, idx, axis=0)
-    return quant.reshape(shape).astype(x.dtype), idx.reshape(shape[:-1])
+    # convert the 8192-row codebook BEFORE the 221k-row gather: per-element
+    # rounding commutes with the gather, and the gather then moves half the
+    # bytes (bf16 rows) — measured 3.2 -> ~1.6 ms at flagship shapes
+    quant = jnp.take(state.embed.astype(x.dtype), idx, axis=0)
+    return quant.reshape(shape), idx.reshape(shape[:-1])
 
 
 def vq_apply(state: VQState, x: Array, *, freeze: bool = True,
