@@ -52,21 +52,23 @@ def _kernel(x_ref, kw_ref, s1_ref, b1_ref, g2_ref, b2_ref, o_ref, *,
     x4 = x.reshape(t_patch, hp, patch, W)              # [tv, hp, p1, w]
     xa = x4.transpose(1, 0, 2, 3).reshape(hp, cin, W)  # [hp, cin, w]
 
-    # per-patch LN1 moments: channel reduce + block-ones lane grouping on
-    # the MXU; the (hp, wp) grid broadcasts over dim BEFORE the row merge
-    # (a lane->sublane merging reshape of a 2-d vector is not a legal
-    # Mosaic shape cast, but broadcast-then-merge is)
+    # per-patch LN1 moments as MXU contractions with the block-ones lane
+    # grouping (f32 accumulation of bf16 x {0,1} products is exact for
+    # sum1; sum2 only carries the bf16 squaring rounding, ~1e-3 relative on
+    # sigma — inside the compute-dtype tolerance). The (hp, wp) grid
+    # broadcasts over dim BEFORE the row merge (a lane->sublane merging
+    # reshape of a 2-d vector is not a legal Mosaic shape cast, but
+    # broadcast-then-merge is).
     patch_dim = cin * patch
-    xs = xa.astype(f32)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, wp), 0) // patch
     pw_iota = jax.lax.broadcasted_iota(jnp.int32, (W, wp), 1)
-    inc = (w_iota == pw_iota).astype(f32)              # [W, wp]
-    sum1 = jax.lax.dot_general(jnp.sum(xs, axis=1), inc,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)   # [hp, wp]
-    sum2 = jax.lax.dot_general(jnp.sum(xs * xs, axis=1), inc,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)
+    inc = (w_iota == pw_iota).astype(x.dtype)          # [W, wp]
+    sum1 = jnp.sum(jax.lax.dot_general(xa, inc, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=f32),
+                   axis=1)                             # [hp, wp]
+    sum2 = jnp.sum(jax.lax.dot_general(xa * xa, inc, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=f32),
+                   axis=1)
     mean2 = sum1 / patch_dim
     var2 = jnp.maximum(sum2 / patch_dim - mean2 * mean2, 0.0)
     mean = jnp.broadcast_to(mean2[:, :, None],
