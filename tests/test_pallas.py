@@ -399,3 +399,33 @@ def test_pallas_patch_embed_matches_conv_formulation():
     g2 = jax.grad(lambda im: (V._patch_embed(
         p, V.patchify(im, patch, t_patch)) ** 2).sum())(img)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_pallas_ff_backward_all_grads(residual):
+    """Fused FF backward (interpret): grads w.r.t. ALL inputs — x, LN
+    gamma/beta, both in-projections, out-projection — match the XLA twin."""
+    from ct_clip_ut_tpu.ops.pallas_ff import _xla_reference, geglu_ff_fused
+    dim, inner, n = 64, 96, 40   # n not a tile multiple: exercises padding
+    ks = jax.random.split(jax.random.PRNGKey(21), 6)
+    x = jax.random.normal(ks[0], (n, dim))
+    gamma = jax.random.normal(ks[1], (dim,)) * 0.2 + 1.0
+    beta = jax.random.normal(ks[2], (dim,)) * 0.1
+    wv = jax.random.normal(ks[3], (dim, inner)) / 8.0
+    wg = jax.random.normal(ks[4], (dim, inner)) / 8.0
+    w2 = jax.random.normal(ks[5], (inner, dim)) / 10.0
+
+    def loss_fused(x, gamma, beta, wv, wg, w2):
+        return (geglu_ff_fused(x, gamma, beta, wv, wg, w2, True,
+                               residual) ** 2).sum()
+
+    def loss_ref(x, gamma, beta, wv, wg, w2):
+        return (_xla_reference(x, gamma, beta, wv, wg, w2, residual) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+        x, gamma, beta, wv, wg, w2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        x, gamma, beta, wv, wg, w2)
+    for a, b, name in zip(g1, g2, ["x", "gamma", "beta", "wv", "wg", "w2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=1e-4, err_msg=name)
