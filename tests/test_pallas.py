@@ -429,3 +429,41 @@ def test_pallas_ff_backward_all_grads(residual):
     for a, b, name in zip(g1, g2, ["x", "gamma", "beta", "wv", "wg", "w2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+@pytest.mark.parametrize("residual", [False, True])
+def test_pallas_attn_block_backward_all_grads(with_bias, residual):
+    """Fused attention-block backward (interpret): grads w.r.t. every input
+    (x, LN gamma, Wq/Wk/Wv/Wo, qs/ks scales, bias) match the XLA twin."""
+    from ct_clip_ut_tpu.ops.pallas_attn_block import (_xla_reference_block,
+                                                      attention_block_fused)
+    ks = jax.random.split(jax.random.PRNGKey(6), 9)
+    d, h, dh, n, r = 32, 4, 8, 16, 3
+    x = jax.random.normal(ks[0], (r, n, d))
+    gamma = jax.random.normal(ks[1], (d,)) * 0.2 + 1.0
+    wq = jax.random.normal(ks[2], (d, h * dh)) / 5
+    wk = jax.random.normal(ks[3], (d, h * dh)) / 5
+    wv = jax.random.normal(ks[4], (d, h * dh)) / 5
+    wo = jax.random.normal(ks[5], (h * dh, d)) / 5
+    qs = jnp.abs(jax.random.normal(ks[6], (dh,))) + 0.5
+    ksc = jnp.abs(jax.random.normal(ks[7], (dh,))) + 0.5
+    bias = jax.random.normal(ks[8], (h, n, n)) if with_bias else None
+
+    args = (x, gamma, wq, wk, wv, wo, qs, ksc)
+    nd = tuple(range(8))
+    g1 = jax.grad(lambda *a: (attention_block_fused(
+        *a, bias, 8.0, True, residual) ** 2).sum(), argnums=nd)(*args)
+    g2 = jax.grad(lambda *a: (_xla_reference_block(
+        *a, bias, 8.0, residual) ** 2).sum(), argnums=nd)(*args)
+    for a, b, nm in zip(g1, g2, ["x", "gamma", "wq", "wk", "wv", "wo",
+                                 "qs", "ks"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=1e-4, err_msg=nm)
+    if with_bias:
+        gb1 = jax.grad(lambda b: (attention_block_fused(
+            *args, b, 8.0, True, residual) ** 2).sum())(bias)
+        gb2 = jax.grad(lambda b: (_xla_reference_block(
+            *args, b, 8.0, residual) ** 2).sum())(bias)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
+                                   atol=5e-3, rtol=1e-4)
