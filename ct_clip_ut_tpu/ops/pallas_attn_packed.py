@@ -167,6 +167,14 @@ def _fwd(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret, residual):
 
 def _bwd(scale, interpret, residual, res, g):
     x, gamma, wq, wk, wv, wo, qs, ks = res
+    if jax.default_backend() == "tpu" or interpret:
+        dx, dgamma, dwq, dwk, dwv, dwo, dqs, dks = _backward_impl(
+            x, gamma, wq, wk, wv, wo, qs, ks, g, scale=scale,
+            interpret=interpret, residual=residual)
+        return (dx, dgamma.astype(gamma.dtype), dwq.astype(wq.dtype),
+                dwk.astype(wk.dtype), dwv.astype(wv.dtype),
+                dwo.astype(wo.dtype), dqs.astype(qs.dtype),
+                dks.astype(ks.dtype))
     _, vjp = jax.vjp(
         lambda *a: packed_attention_xla(*a, scale, residual), x, gamma, wq,
         wk, wv, wo, qs, ks)
@@ -244,3 +252,204 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret,
             transcendentals=b * m * m),
         interpret=interpret,
     )(x, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2, neg)
+
+
+# ---------------------------------------------------------------------------
+# fused backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, g_ref, gamma_ref, wqt_ref, wkt_ref, wvt_ref, wo_ref,
+                qs_ref, ks_ref, neg_ref,
+                dx_ref, dgamma_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+                dqs_ref, dks_ref,
+                qt_scr, kt_scr, vt_scr, ot_scr, dqt_scr, dkt_scr, dvt_scr, *,
+                scale: float, heads: int, n: int, residual: bool):
+    """Packed-sequence twin of pallas_attn_block._bwd_kernel: R sequences
+    form one [m = R*n]-row packed block with the same-sequence -inf mask;
+    the masked softmax's zero off-block probabilities kill every cross-
+    sequence term in the backward exactly, so the per-sequence grads fall
+    out of the packed formulas unchanged."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    dh = qs_ref.shape[0]
+    dt = x_ref.dtype
+    r, _, d = x_ref.shape
+    m = r * n
+
+    x = x_ref[:].reshape(m, d)
+    x32 = x.astype(f32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    xhat = (x32 - mean) * rstd
+    xn = (xhat * gamma_ref[0]).astype(dt)
+    qt_scr[:] = jax.lax.dot_general(wqt_ref[:], xn, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+    kt_scr[:] = jax.lax.dot_general(wkt_ref[:], x, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+    vt_scr[:] = jax.lax.dot_general(wvt_ref[:], x, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+
+    qsc = qs_ref[:].astype(f32) * scale
+    ksc = ks_ref[:].astype(f32)
+    neg = neg_ref[:]
+    g = g_ref[:].reshape(m, d).astype(dt)
+    dot_t = jax.lax.dot_general(wo_ref[:], g, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)   # [hd, m]
+
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qt, kt, vt = qt_scr[sl, :], kt_scr[sl, :], vt_scr[sl, :]
+        qn = jnp.maximum(jnp.sqrt(jnp.sum(qt * qt, axis=0, keepdims=True)),
+                         1e-12)
+        kn = jnp.maximum(jnp.sqrt(jnp.sum(kt * kt, axis=0, keepdims=True)),
+                         1e-12)
+        uq = qt / qn
+        uk = kt / kn
+        qh = uq * qsc
+        kh = uk * ksc
+
+        s = jax.lax.dot_general(qh, kh, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32) + neg
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pt = p.astype(dt)
+
+        ot_scr[sl, :] = jax.lax.dot_general(
+            vt.astype(dt), pt, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+        doh = dot_t[sl, :]
+        dp = jax.lax.dot_general(doh.astype(dt), vt.astype(dt),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        dvt_scr[sl, :] = jax.lax.dot_general(
+            doh.astype(dt), pt, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dst = ds.astype(dt)
+        dqh = jax.lax.dot_general(kh.astype(dt), dst, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        dkh = jax.lax.dot_general(qh.astype(dt), dst, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+
+        @pl.when(i == 0)
+        def _():
+            if h == 0:
+                dqs_ref[:] = jnp.zeros_like(dqs_ref)
+                dks_ref[:] = jnp.zeros_like(dks_ref)
+        dqs_ref[:] += jnp.sum(uq * dqh, axis=1, keepdims=True) * scale
+        dks_ref[:] += jnp.sum(uk * dkh, axis=1, keepdims=True)
+        duq = dqh * qsc
+        duk = dkh * ksc
+        dqt_scr[sl, :] = (duq - uq * jnp.sum(uq * duq, axis=0,
+                                             keepdims=True)) / qn
+        dkt_scr[sl, :] = (duk - uk * jnp.sum(uk * duk, axis=0,
+                                             keepdims=True)) / kn
+
+    ot = ot_scr[:].astype(dt)
+    dwo_p = jax.lax.dot_general(ot, g, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    dq = dqt_scr[:].astype(dt)
+    dk = dkt_scr[:].astype(dt)
+    dv = dvt_scr[:].astype(dt)
+    dxn = jax.lax.dot_general(dq, wqt_ref[:], (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dx_direct = (jax.lax.dot_general(dk, wkt_ref[:], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+                 + jax.lax.dot_general(dv, wvt_ref[:],
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32))
+    dwq_p = jax.lax.dot_general(xn, dq, (((0,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+    dwk_p = jax.lax.dot_general(x, dk, (((0,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+    dwv_p = jax.lax.dot_general(x, dv, (((0,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+
+    dgamma_p = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dxhat = dxn * gamma_ref[0]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * rstd + dx_direct
+    if residual:
+        dx = dx + g.astype(f32)
+    dx_ref[:] = dx.reshape(r, n, d).astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+        dwq_ref[:] = jnp.zeros_like(dwq_ref)
+        dwk_ref[:] = jnp.zeros_like(dwk_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    dgamma_ref[:] += dgamma_p
+    dwq_ref[:] += dwq_p
+    dwk_ref[:] += dwk_p
+    dwv_ref[:] += dwv_p
+    dwo_ref[:] += dwo_p
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "residual"))
+def _backward_impl(x, gamma, wq, wk, wv, wo, qs, ks, g, *,
+                   scale, interpret, residual):
+    b, n, d = x.shape
+    hd = wq.shape[1]
+    dh = qs.shape[-1]
+    heads = hd // dh
+    r = _pick_rows(b)
+
+    gamma2 = gamma.astype(jnp.float32).reshape(1, d)
+    qs2 = qs.astype(jnp.float32).reshape(dh, 1)
+    ks2 = ks.astype(jnp.float32).reshape(dh, 1)
+    rn = r * n
+    seq = jnp.repeat(jnp.arange(r, dtype=jnp.int32), n)
+    neg = jnp.where(seq[:, None] == seq[None, :], 0.0,
+                    NEG_INF).astype(jnp.float32)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, heads=heads, n=n,
+                          residual=residual),
+        grid=(b // r,),
+        in_specs=[
+            pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, d)), const((hd, d)), const((hd, d)), const((hd, d)),
+            const((hd, d)), const((dh, 1)), const((dh, 1)), const((rn, rn)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, d)), const((d, hd)), const((d, hd)), const((d, hd)),
+            const((hd, d)), const((dh, 1)), const((dh, 1)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, hd), jnp.float32),
+            jax.ShapeDtypeStruct((d, hd), jnp.float32),
+            jax.ShapeDtypeStruct((d, hd), jnp.float32),
+            jax.ShapeDtypeStruct((hd, d), jnp.float32),
+            jax.ShapeDtypeStruct((dh, 1), jnp.float32),
+            jax.ShapeDtypeStruct((dh, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((hd, rn), jnp.float32) for _ in range(7)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (9 * n * d * hd + heads * 6 * rn * n * dh),
+            bytes_accessed=x.size * 3 * x.dtype.itemsize,
+            transcendentals=2 * (b // r) * heads * rn * rn),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(x, g, gamma2, wq.T, wk.T, wv.T, wo, qs2, ks2, neg)
+
+    dx, dgamma, dwq, dwk, dwv, dwo, dqs, dks = outs
+    return (dx, dgamma.reshape(d), dwq, dwk, dwv, dwo,
+            dqs.reshape(qs.shape), dks.reshape(ks.shape))

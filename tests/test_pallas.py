@@ -467,3 +467,32 @@ def test_pallas_attn_block_backward_all_grads(with_bias, residual):
             *args, b, 8.0, residual) ** 2).sum())(bias)
         np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2),
                                    atol=5e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_pallas_packed_backward_all_grads(residual):
+    """Packed attention backward (interpret): all grads match the packed
+    XLA twin, including when b is not a multiple of the row block."""
+    from ct_clip_ut_tpu.ops.pallas_attn_packed import (attention_block_packed,
+                                                       packed_attention_xla)
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    d, h, dh, n, b = 32, 4, 8, 12, 6   # b=6 -> r=2 blocking
+    x = jax.random.normal(ks[0], (b, n, d))
+    gamma = jax.random.normal(ks[1], (d,)) * 0.2 + 1.0
+    wq = jax.random.normal(ks[2], (d, h * dh)) / 5
+    wk = jax.random.normal(ks[3], (d, h * dh)) / 5
+    wv = jax.random.normal(ks[4], (d, h * dh)) / 5
+    wo = jax.random.normal(ks[5], (h * dh, d)) / 5
+    qs = jnp.abs(jax.random.normal(ks[6], (dh,))) + 0.5
+    ksc = jnp.abs(jax.random.normal(ks[7], (dh,))) + 0.5
+
+    args = (x, gamma, wq, wk, wv, wo, qs, ksc)
+    nd = tuple(range(8))
+    g1 = jax.grad(lambda *a: (attention_block_packed(
+        *a, 8.0, True, residual) ** 2).sum(), argnums=nd)(*args)
+    g2 = jax.grad(lambda *a: (packed_attention_xla(
+        *a, 8.0, residual) ** 2).sum(), argnums=nd)(*args)
+    for a, b_, nm in zip(g1, g2, ["x", "gamma", "wq", "wk", "wv", "wo",
+                                  "qs", "ks"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3,
+                                   rtol=1e-4, err_msg=nm)
