@@ -82,6 +82,17 @@ def zeroshot_probs(params, cfg: CTCLIPConfig, image: Array,
     return jax.nn.softmax(pair, axis=-1)[..., 0]
 
 
+def place_eval_inputs(params, prompt_latents, mesh):
+    """One-time mesh placement of the eval constants: params onto their
+    NamedShardings, prompt latents replicated. Called ONCE per checkpoint
+    (CTClipInference.zeroshot does this before the batch loop) — placing the
+    150M-param tree per batch was a measured eval-loop tax."""
+    from ..parallel import sharding
+    params = jax.device_put(params, sharding.param_shardings(params, mesh))
+    prompt_latents = jax.device_put(prompt_latents, sharding.replicated(mesh))
+    return params, prompt_latents
+
+
 def zeroshot_probs_sharded(params, cfg: CTCLIPConfig, image, prompt_latents,
                            mesh, compute_dtype: str = "bfloat16") -> Array:
     """Mesh-sharded zero-shot scoring: the image batch shards over the
@@ -89,11 +100,18 @@ def zeroshot_probs_sharded(params, cfg: CTCLIPConfig, image, prompt_latents,
     reference's DDP eval — one model replica per rank over a per-rank data
     shard, CTClipInference.py:59,79-88). Under jit/GSPMD the batch sharding
     propagates through the whole tower, so this is the same compiled
-    program as `zeroshot_probs`, laid out over the mesh."""
+    program as `zeroshot_probs`, laid out over the mesh.
+
+    `params`/`prompt_latents` already placed via `place_eval_inputs` pass
+    through device_put as no-ops (sharding match short-circuits); host
+    arrays are placed here for one-shot callers.
+
+    Multi-process: `image` is this PROCESS's local batch (its ShardedSampler
+    shard); the global batch is assembled across hosts, so the returned
+    [global_B, 18] probs row-align with the global batch order."""
     from ..parallel import sharding
-    image = jax.device_put(jnp.asarray(image), sharding.batch_shardings(mesh))
-    params = jax.device_put(params, sharding.param_shardings(params, mesh))
-    prompt_latents = jax.device_put(prompt_latents, sharding.replicated(mesh))
+    image = sharding.shard_host_batch(jnp.asarray(image), mesh)
+    params, prompt_latents = place_eval_inputs(params, prompt_latents, mesh)
     return zeroshot_probs(params, cfg, image, prompt_latents,
                           compute_dtype=compute_dtype)
 
@@ -143,16 +161,24 @@ class CTClipInference:
     def zeroshot(self):
         prompt_tokens = tokenize_prompts(self.tokenizer, self.pathologies)
         prompt_latents = encode_prompt_latents(self.params, self.cfg, prompt_tokens)
+        if self.mesh is not None:
+            # place the eval constants ONCE, not per batch
+            self.params, prompt_latents = place_eval_inputs(
+                self.params, prompt_latents, self.mesh)
 
         preds, targets = [], []
         for images, _texts, labels, *_ in self.data:
             if self.mesh is not None:
                 probs = zeroshot_probs_sharded(self.params, self.cfg, images,
                                                prompt_latents, self.mesh)
+                # multi-process: keep THIS process's rows (they pair with the
+                # local labels); gather_predictions concatenates across hosts
+                from ..parallel.sharding import local_rows
+                preds.append(local_rows(probs))
             else:
                 probs = zeroshot_probs(self.params, self.cfg,
                                        jnp.asarray(images), prompt_latents)
-            preds.append(np.asarray(probs))
+                preds.append(np.asarray(probs))
             targets.append(np.asarray(labels))
 
         preds = np.concatenate(preds, axis=0)

@@ -77,6 +77,27 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(mesh))
 
 
+def local_rows(x) -> "np.ndarray":
+    """Host view of THIS process's rows of a batch-sharded global array, in
+    global row order. Single-process (or fully-replicated arrays) this is
+    just np.asarray; multi-process, np.asarray on a non-fully-addressable
+    global array raises, so the addressable shards are stitched instead.
+    The inverse of shard_host_batch for driver code that post-processes
+    per-process results on host (e.g. zero-shot preds before the
+    gather_for_metrics-style process_allgather)."""
+    import numpy as np
+    if jax.process_count() == 1 or getattr(x, "is_fully_replicated", True):
+        return np.asarray(x)
+    # dedupe by row range: with a "model" axis the same rows are replicated
+    # across model-parallel devices
+    seen = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
 def shard_host_batch(batch, mesh: Mesh):
     """Multi-host-aware batch placement: each process contributes its LOCAL
     batch (from its ShardedSampler shard, data/loader.py) and the result is

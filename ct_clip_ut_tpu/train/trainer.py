@@ -177,7 +177,18 @@ class CTClipTrainer:
         local_data = self.mesh.shape["data"] // jax.process_count()
         if images.shape[0] % max(local_data, 1) == 0:
             put = lambda v: sharding.shard_host_batch(v, self.mesh)
-        else:  # batch not divisible by the data axis: replicate
+        elif jax.process_count() > 1:
+            # replication is NOT valid across hosts: each process holds a
+            # DIFFERENT sampler shard, so declaring the local batch
+            # replicated over a process-spanning mesh silently feeds every
+            # host a different "global" batch — divergent losses/updates
+            # under GSPMD. Refuse instead.
+            raise ValueError(
+                f"local batch {images.shape[0]} not divisible by the local "
+                f"data axis {local_data} in a {jax.process_count()}-process "
+                f"run; pick a batch size divisible by "
+                f"{self.mesh.shape['data']} // process_count")
+        else:  # single-process small batch: replicate (wastes DP, correct)
             if not getattr(self, "_warned_replicate", False):
                 self.maybe_print(
                     f"batch {images.shape[0]} not divisible by local data "
@@ -253,7 +264,8 @@ class CTClipTrainer:
                     self.train_losses["steps"].append(loss)
                 if epoch == 1 and step == 1:
                     self.train_losses["epochs"].append(loss)
-                    self.train_losses["steps"].append(loss)
+                    if step % save_at != 0:  # avoid double-append at save_at==1
+                        self.train_losses["steps"].append(loss)
                     self.evaluate(0)  # step-0 bootstrap eval (reference :278-281)
                 self.maybe_print(f"Epoch {epoch} | Step {step} | Loss: {loss:.6f}")
 
