@@ -1,0 +1,139 @@
+"""Worker process for the 2-process distributed integration test.
+
+Launched (twice) by tests/test_multiprocess.py with a local coordinator.
+Each worker is a real separate `jax.distributed` process with 4 virtual CPU
+devices, so the `jax.process_count() > 1` branches — dead code in every
+single-process test — actually execute here:
+
+  * parallel/mesh.initialize_runtime       (jax.distributed bring-up)
+  * parallel/sharding.shard_host_batch     (make_array_from_process_local_data)
+  * parallel/sharding.local_rows           (addressable-shard stitching)
+  * infer/zeroshot.gather_predictions      (process_allgather)
+  * train/trainer rank-0 gating            (save_model writes on process 0 only)
+  * data/loader.ShardedSampler             (per-process disjoint shards)
+
+This is the reference's entire deployment mode (NCCL DDP,
+reference CTClipTrainer.py:62-69, CTClipInference.py:59) recreated on the
+JAX multi-process runtime. The worker prints one JSON line of results that
+the parent test checks against a single-process 8-device run of the SAME
+global batch.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    coordinator = sys.argv[2]
+    out_dir = sys.argv[3]
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=4").strip()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # a sitecustomize may pin a TPU
+
+    from ct_clip_ut_tpu.parallel.mesh import initialize_runtime, make_mesh
+    initialize_runtime(coordinator_address=coordinator, num_processes=2,
+                       process_id=pid)
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == 8
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_trainer_driver import SMALL_CLIP, HashTokenizer
+
+    from ct_clip_ut_tpu.config import TrainConfig
+    from ct_clip_ut_tpu.data.loader import ShardedSampler
+    from ct_clip_ut_tpu.infer import zeroshot as zs
+    from ct_clip_ut_tpu.train.trainer import CTClipTrainer
+
+    result = {"pid": pid}
+
+    # ---- ShardedSampler: per-process shards are disjoint and cover ------
+    sampler = ShardedSampler(10, num_shards=2, shard_index=pid,
+                             shuffle=True, drop_last=True, seed=3)
+    sampler.set_epoch(1)
+    mine = np.asarray(sampler.indices(), np.int32)
+    from jax.experimental import multihost_utils
+    both = np.asarray(multihost_utils.process_allgather(mine))  # [2, 5]
+    assert both.shape == (2, 5), both.shape
+    union = np.sort(both.ravel())
+    assert len(np.unique(union)) == 10, union  # disjoint + covering
+
+    # ---- gather_predictions: the process_allgather branch ---------------
+    preds_local = np.full((2, 18), float(pid), np.float32)
+    targets_local = np.full((2, 18), float(pid) + 10.0, np.float32)
+    preds, targets = zs.gather_predictions(preds_local, targets_local)
+    assert preds.shape == (4, 18), preds.shape
+    np.testing.assert_array_equal(preds[:2], 0.0)
+    np.testing.assert_array_equal(preds[2:], 1.0)
+    np.testing.assert_array_equal(targets[:2], 10.0)
+    np.testing.assert_array_equal(targets[2:], 11.0)
+
+    # ---- global batch: this process contributes rows [4p, 4p + 4) -------
+    rs = np.random.RandomState(7)
+    images_global = rs.randn(8, 1, 20, 32, 32).astype(np.float32)
+    texts_global = [f"report row {i} effusion" for i in range(8)]
+    lo, hi = 4 * pid, 4 * pid + 4
+    images_local, texts_local = images_global[lo:hi], texts_global[lo:hi]
+
+    # ---- trainer: shard_host_batch assembly + one SPMD train step -------
+    cfg = TrainConfig(lr=1e-3, num_epochs=1, compute_dtype="float32",
+                      text_max_length=16)
+    trainer = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                            train_data=[], valid_data=[],
+                            results_folder=os.path.join(out_dir, "results"))
+    assert trainer.is_main == (pid == 0)
+    img, tok = trainer._put_batch(images_local, texts_local)
+    assert img.shape[0] == 8  # global batch assembled across processes
+    assert not img.is_fully_addressable
+    state, loss = trainer.train_step(trainer.state, img, tok)
+    result["train_loss"] = float(loss)
+
+    # indivisible local batch must be a hard error in multi-process runs
+    try:
+        trainer._put_batch(images_local[:3], texts_local[:3])
+        raise AssertionError("indivisible multi-process batch did not raise")
+    except ValueError:
+        pass
+
+    # rank-0 gating: only process 0 writes the checkpoint
+    trainer.state = state
+    trainer.save_model("mp_checkpoint.msgpack")
+    wrote = (trainer.results_folder / "mp_checkpoint.msgpack").exists()
+    assert wrote == (pid == 0), (pid, wrote)
+
+    # ---- sharded zero-shot eval over the 2-process mesh -----------------
+    mesh = make_mesh()
+    ids = (np.arange(36 * 16).reshape(36, 16) % 256).astype(np.int32)
+    prompt_tokens = {"input_ids": jnp.asarray(ids),
+                     "attention_mask": jnp.ones_like(jnp.asarray(ids))}
+    prompt_latents = zs.encode_prompt_latents(trainer.state.params, SMALL_CLIP,
+                                              prompt_tokens)
+    params, prompt_latents = zs.place_eval_inputs(trainer.state.params,
+                                                  prompt_latents, mesh)
+    probs = zs.zeroshot_probs_sharded(params, SMALL_CLIP, images_local,
+                                      prompt_latents, mesh,
+                                      compute_dtype="float32")
+    from ct_clip_ut_tpu.parallel.sharding import local_rows
+    mine_rows = local_rows(probs)
+    assert mine_rows.shape == (4, 18), mine_rows.shape
+    result["zeroshot_rows"] = mine_rows.tolist()
+
+    with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,12 +21,17 @@ SMALL_CLIP = CTCLIPConfig(dim_text=32, dim_image=4 * 4 * 16, dim_latent=8,
 class HashTokenizer:
     def __call__(self, texts, return_tensors="np", padding="max_length",
                  truncation=True, max_length=32):
+        # crc32, not hash(): Python string hashing is salted per process,
+        # and the 2-process integration test compares tokenizations across
+        # separate interpreter processes
+        import zlib
         texts = [texts] if isinstance(texts, str) else list(texts)
         max_length = min(max_length, 16)
         ids = np.zeros((len(texts), max_length), np.int32)
         mask = np.zeros_like(ids)
         for i, t in enumerate(texts):
-            toks = [1] + [hash(w) % 200 + 5 for w in t.split()][:max_length - 2] + [2]
+            toks = [1] + [zlib.crc32(w.encode()) % 200 + 5
+                          for w in t.split()][:max_length - 2] + [2]
             ids[i, :len(toks)] = np.asarray(toks) % 256
             mask[i, :len(toks)] = 1
         return {"input_ids": ids, "attention_mask": mask}
