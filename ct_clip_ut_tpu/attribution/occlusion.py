@@ -55,13 +55,20 @@ Array = jax.Array
 # parity-mode chunks down to 2 (see occlusion_scores).
 
 
-def _patch_block_geometry(vol_shape, patch_q, occ_patch):
+def _patch_block_geometry(vol_shape, patch_q, occ_patch, stride=None):
     """Static geometry: per-axis ViT-patch block size k (max patches a window
-    can intersect) and the token-grid shape."""
+    can intersect) and the token-grid shape. When the window stride is a
+    multiple of the ViT patch size, every window origin is patch-aligned and
+    the block tightens to ceil(p/q) (2x2x2 at the flagship geometry: window
+    20x40x40, stride 10x20x20, patches 10x20x20); unaligned origins can
+    straddle one extra patch per axis."""
     grid = tuple(v // q for v, q in zip(vol_shape, patch_q))
-    k = tuple(min((p - 1) // q + 2, g)
-              for p, q, g in zip(occ_patch, patch_q, grid))
-    return grid, k
+    k = []
+    for ax, (p, q, g) in enumerate(zip(occ_patch, patch_q, grid)):
+        aligned = stride is not None and stride[ax] % q == 0
+        ka = (p - 1) // q + (1 if aligned else 2)
+        k.append(min(ka, g))
+    return grid, tuple(k)
 
 
 def _occluded_token_block(embed_params, image, origin, patch_q, k, grid,
@@ -93,6 +100,78 @@ def _occluded_token_block(embed_params, image, origin, patch_q, k, grid,
     return tokens, jnp.stack([g0[0], g0[1], g0[2]])
 
 
+# ---------------------------------------------------------------------------
+# frame-sparse spatial recompute
+# ---------------------------------------------------------------------------
+#
+# The spatial transformer is strictly per-frame EXCEPT for PEG's depthwise
+# conv3d, whose causal frame pad (2, 0) makes output frame tau depend on
+# input frames tau-2..tau (reference attention.py:55-83). A window touching
+# wf temporal token-frames therefore dirties at most wf + 2*l contiguous
+# frames after l spatial layers (2 -> 10 of 24 at flagship depth 4) — so
+# instead of re-running the spatial stack on all 24 frames per window, we
+# cache the clean per-layer inputs ONCE and per window recompute each layer
+# only on its (static-size, dynamic-offset) dirty frame slice, feeding the
+# 2-frame PEG halo from the clean cache. Recomputing a clean frame from
+# clean inputs reproduces the clean value, so the slice may conservatively
+# include clean frames (needed for static shapes near the volume edges).
+# The temporal stack + VQ + projection then run on the full spliced grid
+# (they are the cheap tail at flagship shapes).
+
+
+def _spatial_block_full(layer, tcfg, x, video_shape, attn_bias):
+    """One spatial transformer block (PEG -> self-attn -> FF, all residual)
+    exactly as ops/transformer.py's plain layer applies it."""
+    from ..ops.attention import attention
+    from ..ops.layers import feedforward, peg_residual
+    x = peg_residual(layer["peg"], x, video_shape, causal=tcfg.peg_causal)
+    x, _ = attention(layer["self_attn"], tcfg.self_attn(), x,
+                     attn_bias=attn_bias, residual=True)
+    return feedforward(layer["ff"], x, residual=True)
+
+
+def _spatial_clean_stack(vt_params, tcfg, tokens, attn_bias):
+    """Clean spatial stack, keeping per-layer inputs.
+
+    Returns (layer_inputs, spatial_out): layer_inputs[l] is the video-form
+    [1, t, h, w, d] INPUT to spatial layer l; spatial_out is the post-norm
+    output grid."""
+    from ..ops.layers import layernorm
+    b, t, h, w, d = tokens.shape
+    layer_inputs = []
+    x = tokens.reshape(b * t, h * w, d)
+    for layer in vt_params["spatial"]["layers"]:
+        layer_inputs.append(x.reshape(b, t, h, w, d))
+        x = _spatial_block_full(layer, tcfg, x, (b, t, h, w), attn_bias)
+    out = layernorm(vt_params["spatial"]["norm_out"], x)
+    return layer_inputs, out.reshape(b, t, h, w, d)
+
+
+def _spatial_block_slice(layer, tcfg, xh, attn_bias):
+    """The same block on a frame slice: `xh` [1, m+2, h, w, d] holds the m
+    output frames' inputs plus the 2 leading causal-PEG halo frames; returns
+    the [1, m, h, w, d] block output for those m frames. The PEG conv runs
+    VALID over frames (the halo replaces the causal pad); attention and FF
+    are frame-local."""
+    import jax
+    from ..ops.attention import attention
+    from ..ops.layers import feedforward
+    b, mp2, h, w, d = xh.shape
+    m = mp2 - 2
+    out = jax.lax.conv_general_dilated(
+        xh, layer["peg"]["w"].astype(xh.dtype), (1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=d)
+    out = (out.astype(jnp.float32) + layer["peg"]["b"]
+           + xh[:, 2:].astype(jnp.float32))
+    x = out.astype(xh.dtype).reshape(b * m, h * w, d)
+    x, _ = attention(layer["self_attn"], tcfg.self_attn(), x,
+                     attn_bias=attn_bias, residual=True)
+    x = feedforward(layer["ff"], x, residual=True)
+    return x.reshape(b, m, h, w, d)
+
+
 def window_grid(shape_dhw: Tuple[int, int, int], patch, stride) -> Array:
     """[N, 3] window origins, ordered d-major like the reference's nested
     comprehension (visualizations.py:340-349)."""
@@ -122,12 +201,13 @@ def _occlude(image: Array, origin: Array, patch, fill: float,
 
 def _sweep_scores(params, cfg: CTCLIPConfig, image: Array, txt: Array,
                   coords: Array, occ: OcclusionConfig, chunk: int,
-                  token_shortcut: bool) -> Array:
+                  token_shortcut: bool, frame_sparse: bool = False) -> Array:
     """Core masked-forward sweep. `txt` is [K, dim_latent]; returns
     [N + 1, K] scores with the baseline (no-op window) at row 0, computed
     through the SAME chunked program as every masked forward so importances
     are internally consistent regardless of lowering."""
-    from ..models.ctclip import encode_image_latents_from_tokens
+    from ..models.ctclip import (encode_image_latents_from_spatial_out,
+                                 encode_image_latents_from_tokens)
     from ..models.ctvit import _patch_embed, patchify
 
     temp = jnp.exp(params["temperature"])
@@ -136,13 +216,64 @@ def _sweep_scores(params, cfg: CTCLIPConfig, image: Array, txt: Array,
     patch_q = (cfg.ctvit.temporal_patch_size,
                cfg.ctvit.patch_size, cfg.ctvit.patch_size)
     vol_shape = image.shape[-3:]
-    grid, kblk = _patch_block_geometry(vol_shape, patch_q, occ.patch_size)
+    grid, kblk = _patch_block_geometry(vol_shape, patch_q, occ.patch_size,
+                                       occ.stride)
 
     def embed_fn(p, vol):
         return _patch_embed(p, patchify(vol, cfg.ctvit.patch_size,
                                         cfg.ctvit.temporal_patch_size))
 
-    if token_shortcut:
+    if token_shortcut and frame_sparse:
+        # clean token grid + clean per-layer spatial inputs cached ONCE;
+        # per window only the dirty frame slices re-run (see module notes)
+        from ..ops.layers import layernorm
+        from ..ops.posbias import continuous_pos_bias
+        vt = params["visual_transformer"]
+        tcfg = cfg.ctvit.spatial_transformer()
+        assert tcfg.peg_causal, "frame-sparse assumes the causal PEG pad"
+        clean_tokens = embed_fn(embed_params, image)       # [1, t, h, w, d]
+        attn_bias = continuous_pos_bias(
+            vt["spatial_rel_pos_bias"], cfg.ctvit.patch_height,
+            cfg.ctvit.patch_width)
+        layer_inputs, clean_sp_out = _spatial_clean_stack(
+            vt, tcfg, clean_tokens, attn_bias)
+        _, t, h, w, d = clean_tokens.shape
+        # 2 leading zero frames stand in for the causal PEG pad, so slice
+        # starts never go negative
+        zeros2 = jnp.zeros((1, 2, h, w, d), clean_tokens.dtype)
+        padded_inputs = [jnp.concatenate([zeros2, xi], axis=1)
+                         for xi in layer_inputs]
+        layers = vt["spatial"]["layers"]
+        wf = kblk[0]                       # window frames at layer-0 input
+
+        def latent_of(origin, flag):
+            blk, g0 = _occluded_token_block(
+                embed_params, image, origin, patch_q, kblk, grid,
+                occ.patch_size, occ.fill_value, flag, embed_fn)
+            f0 = g0[0]
+            # layer-0 dirty slice: clean frames with the patch block spliced
+            dirty = jax.lax.dynamic_update_slice(
+                jax.lax.dynamic_slice(layer_inputs[0], (0, f0, 0, 0, 0),
+                                      (1, wf, h, w, d)),
+                blk, (0, 0, g0[1], g0[2], 0))
+            o_d, m_d = f0, wf
+            for l, layer in enumerate(layers):
+                m = min(wf + 2 * (l + 1), t)
+                o = jnp.clip(f0, 0, t - m)
+                # input slice [o-2, o+m) = padded [o, o+m+2), dirty spliced
+                xh = jax.lax.dynamic_slice(
+                    padded_inputs[l], (0, o, 0, 0, 0), (1, m + 2, h, w, d))
+                xh = jax.lax.dynamic_update_slice(
+                    xh, dirty, (0, o_d - o + 2, 0, 0, 0))
+                dirty = _spatial_block_slice(layer, tcfg, xh, attn_bias)
+                o_d, m_d = o, m
+            dirty = layernorm(vt["spatial"]["norm_out"], dirty)
+            out_grid = jax.lax.dynamic_update_slice(
+                clean_sp_out, dirty, (0, o_d, 0, 0, 0))
+            lat = encode_image_latents_from_spatial_out(
+                params, cfg, out_grid, freeze_vq=True)
+            return lat[0].astype(jnp.float32)
+    elif token_shortcut:
         # clean token grid embedded ONCE with the bit-stable matmul embed
         clean_tokens = embed_fn(embed_params, image)       # [1, t, h, w, d]
 
@@ -181,13 +312,14 @@ def _sweep_scores(params, cfg: CTCLIPConfig, image: Array, txt: Array,
     return scores.reshape(-1, txt.shape[0])[:n + 1]
 
 
-@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast",
-                                   "token_shortcut"))
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk",
+                                   "token_shortcut", "frame_sparse"))
 def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
                      text_latent: Array, coords: Array, *,
                      occ: OcclusionConfig = OcclusionConfig(),
-                     chunk: int = 8, fast: bool = False,
-                     token_shortcut: bool = True) -> Tuple[Array, Array]:
+                     chunk: int = 8,
+                     token_shortcut: bool = True,
+                     frame_sparse: bool = True) -> Tuple[Array, Array]:
     """(original_score, per-window occluded scores [N]).
 
     `text_latent` is the fixed [dim_latent] prompt/report/diff-embedding
@@ -196,18 +328,17 @@ def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
 
     token_shortcut=True (default) runs the token-level masking shortcut
     (see module notes): clean volume embedded once, per window only the
-    intersected ViT-patch block is re-embedded and spliced in. `fast` is
-    kept for API compatibility (the full-forward fallback distinguishes
-    conv/matmul embeds; the shortcut always uses the bit-stable matmul
-    embed for the clean grid and blocks)."""
-    if not token_shortcut and not fast:
+    intersected ViT-patch block is re-embedded and spliced in.
+    token_shortcut=False runs full masked forwards through the bit-stable
+    parity config (the serial-oracle path used by the parity tests)."""
+    if not token_shortcut:
         from .capture import parity_cfg
         cfg = parity_cfg(cfg)
         # the bit-stable matmul embed normalizes [n, patch_dim] in fp32
         # (221 MB per lane at flagship shapes) — cap the vmap width
         chunk = min(chunk, 2)
     scores = _sweep_scores(params, cfg, image, text_latent[None], coords,
-                           occ, chunk, token_shortcut)[:, 0]
+                           occ, chunk, token_shortcut, frame_sparse)[:, 0]
     return scores[0], scores[1:]
 
 
@@ -237,7 +368,7 @@ def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
 def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
                       text_latent: Array, *,
                       occ: OcclusionConfig = OcclusionConfig(),
-                      chunk: int = 8, fast: bool = False):
+                      chunk: int = 8):
     """[D, H, W] numpy heatmap (pre-rot90): importance = relu(orig - occluded)
     accumulated over windows, count-normalized, min-max scaled, thresholded
     (reference visualizations.py:379-424). Scores run on device; assembly is
@@ -251,7 +382,7 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
 
     original, scores = occlusion_scores(
         params, cfg, image, text_latent, coords, occ=occ, chunk=chunk,
-        fast=fast)
+        )
     importance = np.maximum(float(original) - np.asarray(scores, np.float64),
                             0.0)
 
@@ -268,13 +399,14 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
     return heat.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "occ", "chunk", "fast",
-                                   "token_shortcut"))
+@partial(jax.jit, static_argnames=("cfg", "occ", "chunk",
+                                   "token_shortcut", "frame_sparse"))
 def occlusion_scores_multi(params, cfg: CTCLIPConfig, image: Array,
                            text_latents: Array, coords: Array, *,
                            occ: OcclusionConfig = OcclusionConfig(),
-                           chunk: int = 8, fast: bool = False,
-                           token_shortcut: bool = True
+                           chunk: int = 8,
+                           token_shortcut: bool = True,
+                           frame_sparse: bool = True
                            ) -> Tuple[Array, Array]:
     """Multi-pathology sweep: (original_scores [K], scores [N, K]).
 
@@ -283,19 +415,19 @@ def occlusion_scores_multi(params, cfg: CTCLIPConfig, image: Array,
     re-runs the full 12,167-forward sweep per positive pathology
     (visualizations.py:1037-1044) — this is K x cheaper with identical
     numbers. token_shortcut: see occlusion_scores."""
-    if not token_shortcut and not fast:
+    if not token_shortcut:
         from .capture import parity_cfg
         cfg = parity_cfg(cfg)
         chunk = min(chunk, 2)
     scores = _sweep_scores(params, cfg, image, text_latents, coords,
-                           occ, chunk, token_shortcut)
+                           occ, chunk, token_shortcut, frame_sparse)
     return scores[0], scores[1:]
 
 
 def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,
                              text_latents: Array, *,
                              occ: OcclusionConfig = OcclusionConfig(),
-                             chunk: int = 8, fast: bool = False):
+                             chunk: int = 8):
     """K [D, H, W] numpy heatmaps from ONE window sweep (see
     occlusion_scores_multi)."""
     import numpy as np
@@ -306,7 +438,7 @@ def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,
                                             occ.stride))
     originals, scores = occlusion_scores_multi(
         params, cfg, image, text_latents, coords, occ=occ, chunk=chunk,
-        fast=fast)
+        )
     originals = np.asarray(originals, np.float64)        # [K]
     scores = np.asarray(scores, np.float64)              # [N, K]
 

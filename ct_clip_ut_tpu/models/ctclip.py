@@ -95,6 +95,29 @@ def encode_image_latents_from_tokens(params, cfg: CTCLIPConfig,
     return l2norm(latents), vit_out
 
 
+def encode_image_latents_from_spatial_out(params, cfg: CTCLIPConfig,
+                                          spatial_out: Array, *,
+                                          freeze_vq: bool = True):
+    """Image half starting from the SPATIAL-stack output grid [b, t, h, w, d]
+    (post final LN of the spatial transformer): temporal transformer -> VQ ->
+    temporal mean -> flatten -> project -> l2norm. Entry point for occlusion's
+    frame-sparse recompute (attribution/occlusion.py), which caches the clean
+    spatial stack and re-runs it only on the frames a window can influence.
+    Returns [b, dim_latent] latents."""
+    from ..ops.vq import vq_apply
+    from .ctvit import ctvit_temporal_encode
+    vt = params["visual_transformer"]
+    x, _ = ctvit_temporal_encode(vt, cfg.ctvit, spatial_out)
+    b, t, h, w, d = x.shape
+    quant, _, _ = vq_apply(vt["vq"], x.reshape(b, t * h * w, d),
+                           freeze=freeze_vq, decay=cfg.ctvit.vq_decay,
+                           eps=cfg.ctvit.vq_eps)
+    pooled = quant.reshape(b, t, h, w, d).mean(axis=1)
+    latents = linear(params["to_visual_latent"],
+                     pooled.reshape(b, -1))
+    return l2norm(latents)
+
+
 def encode_text_latents(params, cfg: CTCLIPConfig, text_tokens, *,
                         rng=None, deterministic: bool = True,
                         compute_dtype=jnp.float32):

@@ -185,6 +185,23 @@ class CTViTOutput(NamedTuple):
     vq_state: VQState             # updated when training (EMA), else input
 
 
+def ctvit_temporal_encode(params, cfg: CTViTConfig, x: Array, *,
+                          return_weights: bool = False, taps: Taps = NULL_TAPS,
+                          rng=None, deterministic: bool = True):
+    """Temporal half of the factorized encode: [b, t, h, w, d] spatial-stack
+    output -> temporal transformer over (b h w) t d -> [b, t, h, w, d]
+    (reference ctvit.py:99-101). Split out so callers that cache the spatial
+    stack (occlusion's frame-sparse recompute) can enter here directly."""
+    b, t, h, w, d = x.shape
+    x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
+    x, tm_aux = transformer(
+        params["temporal"], cfg.temporal_transformer(), x,
+        video_shape=(b, t, h, w), return_weights=return_weights,
+        taps=taps, scope="temporal.", rng=rng, deterministic=deterministic)
+    x = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
+    return x, tm_aux
+
+
 def ctvit_encode(params, cfg: CTViTConfig, tokens: Array, *,
                  return_weights: bool = False, taps: Taps = NULL_TAPS,
                  rng=None, deterministic: bool = True):
@@ -205,13 +222,9 @@ def ctvit_encode(params, cfg: CTViTConfig, tokens: Array, *,
         rng=rng, deterministic=deterministic)
     x = x.reshape(b, t, h, w, d)
 
-    # temporal: (b h w) t d
-    x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, d)
-    x, tm_aux = transformer(
-        params["temporal"], cfg.temporal_transformer(), x,
-        video_shape=video_shape, return_weights=return_weights,
-        taps=taps, scope="temporal.", rng=rng, deterministic=deterministic)
-    x = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
+    x, tm_aux = ctvit_temporal_encode(
+        params, cfg, x, return_weights=return_weights, taps=taps,
+        rng=rng, deterministic=deterministic)
 
     return x, sp_aux, tm_aux
 

@@ -241,6 +241,50 @@ def test_occlusion_multi_matches_singles(setup):
         np.testing.assert_allclose(multi[k], single, atol=1e-5)
 
 
+def test_occlusion_frame_sparse_matches_dense_shortcut(setup):
+    """The frame-sparse spatial recompute (cached clean stack + per-window
+    dirty-slice re-run, occlusion.py module notes) scores every window the
+    same as re-running the full spatial stack per window. Volume is 6
+    token-frames deep so the dirty slices have real dynamic offsets and
+    clamp at both volume edges."""
+    params, tokens, _ = setup
+    image = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 60, 32, 32))
+    occ = OcclusionConfig(patch_size=(10, 16, 16), stride=(10, 8, 8),
+                          threshold=0.0)
+    coords = occ_mod.window_grid(image.shape[-3:], occ.patch_size, occ.stride)
+    assert coords.shape[0] == 54
+    text_latent = occ_mod.report_text_latent(params, SMALL_CLIP, tokens)
+
+    orig_d, dense = occ_mod.occlusion_scores(
+        params, SMALL_CLIP, image, text_latent, coords, occ=occ, chunk=4,
+        frame_sparse=False)
+    orig_s, sparse = occ_mod.occlusion_scores(
+        params, SMALL_CLIP, image, text_latent, coords, occ=occ, chunk=4,
+        frame_sparse=True)
+    np.testing.assert_allclose(float(orig_s), float(orig_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_occlusion_frame_sparse_unaligned_stride(setup):
+    """Unaligned temporal stride (origins straddle an extra frame): the
+    conservative kblk+clamp geometry still reproduces the dense scores."""
+    params, tokens, _ = setup
+    image = jax.random.normal(jax.random.PRNGKey(10), (1, 1, 50, 32, 32))
+    occ = OcclusionConfig(patch_size=(10, 16, 16), stride=(5, 16, 16),
+                          threshold=0.0)
+    coords = occ_mod.window_grid(image.shape[-3:], occ.patch_size, occ.stride)
+    text_latent = occ_mod.report_text_latent(params, SMALL_CLIP, tokens)
+    _, dense = occ_mod.occlusion_scores(
+        params, SMALL_CLIP, image, text_latent, coords, occ=occ, chunk=4,
+        frame_sparse=False)
+    _, sparse = occ_mod.occlusion_scores(
+        params, SMALL_CLIP, image, text_latent, coords, occ=occ, chunk=4,
+        frame_sparse=True)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               atol=1e-5)
+
+
 def test_occlusion_diff_embed_latent_matches_bypass(setup):
     params, tokens, image = setup
     embed = jax.random.normal(jax.random.PRNGKey(7), (32,))

@@ -443,5 +443,5 @@ def test_occlusion_parity(twins):
     occ = OcclusionConfig(patch_size=patch, stride=stride, fill_value=-1.0,
                           threshold=0.0)
     mine = occ_mod.occlusion_heatmap(params, SMALL_CLIP, j_image, txt,
-                                     occ=occ, fast=False)
+                                     occ=occ)
     np.testing.assert_allclose(mine, heat, atol=1e-3)
