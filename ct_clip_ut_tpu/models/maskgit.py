@@ -139,7 +139,6 @@ def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
     t, h, w = video_patch_shape
     n = t * h * w
     mask_id = cfg.num_tokens                      # the extra token_emb row
-    neg_inf = jnp.float32(-1e9)
 
     mask_counts = jnp.asarray(_cosine_mask_counts(n, steps), jnp.int32)
     anneal = jnp.linspace(1.0, 0.0, steps + 1)[1:]  # -> 0 at the last step
@@ -164,12 +163,12 @@ def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
         sampled = jnp.where(is_masked, sampled, ids)
         conf = jnp.where(is_masked, conf, jnp.inf)
 
-        # re-mask the n_keep_masked least-confident positions
-        sorted_conf = jnp.sort(conf, axis=-1)                  # ascending
-        cut = jnp.take_along_axis(
-            sorted_conf, jnp.full((b, 1), n_keep_masked, jnp.int32),
-            axis=-1)                                           # [b, 1]
-        remask = (conf < cut) & (n_keep_masked > 0)
+        # re-mask EXACTLY the n_keep_masked least-confident positions:
+        # rank each position by (conf, index) — a stable argsort-of-argsort —
+        # so confidence ties at the cut cannot drift off the cosine schedule
+        order = jnp.argsort(conf, axis=-1, stable=True)        # ascending
+        rank = jnp.argsort(order, axis=-1)                     # [b, n]
+        remask = rank < n_keep_masked
         ids = jnp.where(remask, mask_id, sampled).astype(jnp.int32)
         return (ids, remask, rng), None
 
