@@ -47,8 +47,18 @@ BATCH = int(os.environ.get("CTCLIP_BENCH_BATCH", "16"))
 STEPS = int(os.environ.get("CTCLIP_BENCH_STEPS", "10"))
 REF_SCANS = int(os.environ.get("CTCLIP_BENCH_REF_SCANS", "3"))
 WITH_ATTRIBUTION = os.environ.get("CTCLIP_BENCH_ATTRIBUTION", "1") != "0"
+WITH_KERNEL_PARITY = os.environ.get("CTCLIP_BENCH_KERNELS", "1") != "0"
+WITH_TRAIN = os.environ.get("CTCLIP_BENCH_TRAIN", "1") != "0"
+WITH_OCC_FULL = os.environ.get("CTCLIP_BENCH_OCC_FULL", "1") != "0"
 IG_STEPS = int(os.environ.get("CTCLIP_BENCH_IG_STEPS", "50"))
 OCC_WINDOWS = int(os.environ.get("CTCLIP_BENCH_OCC_WINDOWS", "256"))
+TRAIN_BATCH = int(os.environ.get("CTCLIP_BENCH_TRAIN_BATCH", "8"))
+TRAIN_STEPS = int(os.environ.get("CTCLIP_BENCH_TRAIN_STEPS", "5"))
+# bf16 kernels vs bf16 XLA twins: both sides round at 2^-8 per element and
+# the 512-576-length contractions accumulate; 3e-2 relative max-err is the
+# empirical bf16-scale band (fp32 interpret parity is pinned at 1e-5 by
+# tests/test_pallas.py)
+KERNEL_TOL = float(os.environ.get("CTCLIP_BENCH_KERNEL_TOL", "3e-2"))
 
 
 def flagship_cfg() -> CTCLIPConfig:
@@ -59,6 +69,168 @@ def flagship_cfg() -> CTCLIPConfig:
                           spatial_depth=4, temporal_depth=4,
                           dim_head=32, heads=8),
         bert=BertConfig())
+
+
+def bench_kernel_parity() -> dict:
+    """Compiled (NON-interpret) Pallas kernels vs their XLA twins at
+    flagship shapes on the real chip, forward AND backward — the on-chip
+    correctness artifact for every fused kernel (the CPU suite pins the
+    same kernels in interpret mode only; a Mosaic layout/VMEM bug would be
+    invisible there). Reference semantics: attention.py:126-182 (cosine
+    attention), attention.py:38-51 (GEGLU FF), ctvit.py:44-52 (patch
+    embed), vector_quantize_pytorch (VQ nearest). Emits kparity_* max
+    relative errors and a kernel_parity_ok flag; main() fails the bench
+    loudly if any kernel exceeds KERNEL_TOL."""
+    import numpy as np
+
+    from ct_clip_ut_tpu.ops.pallas_attn_block import (_xla_reference_block,
+                                                      attention_block_fused)
+    from ct_clip_ut_tpu.ops.pallas_attn_packed import (attention_block_packed,
+                                                       packed_attention_xla)
+    from ct_clip_ut_tpu.ops.pallas_ff import _xla_reference, geglu_ff_fused
+    from ct_clip_ut_tpu.ops.pallas_patch_embed import (_xla_twin,
+                                                       patch_embed_fused)
+    from ct_clip_ut_tpu.ops.pallas_vq import vq_nearest_pallas
+    from ct_clip_ut_tpu.ops.layers import l2norm
+
+    out = {}
+    failures = []
+    dt = jnp.bfloat16
+
+    def rel_err(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-6))
+
+    def record(name, err):
+        out[f"kparity_{name}"] = round(err, 5)
+        if err > KERNEL_TOL:
+            failures.append((name, err))
+
+    def check(name, fused, twin, args, grad_args):
+        record(f"{name}_fwd", rel_err(jax.jit(fused)(*args),
+                                      jax.jit(twin)(*args)))
+        loss_f = lambda *a: (fused(*a).astype(jnp.float32) ** 2).sum()
+        loss_t = lambda *a: (twin(*a).astype(jnp.float32) ** 2).sum()
+        g1 = jax.jit(jax.grad(loss_f, argnums=grad_args))(*args)
+        g2 = jax.jit(jax.grad(loss_t, argnums=grad_args))(*args)
+        record(f"{name}_bwd", max(rel_err(a, b) for a, b in zip(g1, g2)))
+
+    d, h, dh, n_sp, t = 512, 8, 32, 576, 24
+    ks = jax.random.split(jax.random.PRNGKey(42), 10)
+    gamma = (jax.random.normal(ks[0], (d,)) * 0.1 + 1.0)
+    wq = (jax.random.normal(ks[1], (d, h * dh)) / 23).astype(dt)
+    wk = (jax.random.normal(ks[2], (d, h * dh)) / 23).astype(dt)
+    wv = (jax.random.normal(ks[3], (d, h * dh)) / 23).astype(dt)
+    wo = (jax.random.normal(ks[4], (h * dh, d)) / 16).astype(dt)
+    qs = jnp.abs(jax.random.normal(ks[5], (dh,))) + 0.5
+    ksc = jnp.abs(jax.random.normal(ks[6], (dh,))) + 0.5
+    bias = jax.random.normal(ks[7], (h, n_sp, n_sp)).astype(jnp.float32)
+
+    # spatial attention block: (b*t)=24 rows of 576 tokens (one volume)
+    x_sp = jax.random.normal(ks[8], (t, n_sp, d)).astype(dt)
+    check("attn_block",
+          lambda *a: attention_block_fused(*a, bias, 8.0, False, True),
+          lambda *a: _xla_reference_block(*a, bias, 8.0, True),
+          (x_sp, gamma, wq, wk, wv, wo, qs, ksc), tuple(range(8)))
+
+    # packed temporal: 576 sequences of 24 tokens
+    x_tm = jax.random.normal(ks[9], (n_sp, t, d)).astype(dt)
+    check("attn_packed",
+          lambda *a: attention_block_packed(*a, 8.0, False, True),
+          lambda *a: packed_attention_xla(*a, 8.0, True),
+          (x_tm, gamma, wq, wk, wv, wo, qs, ksc), tuple(range(8)))
+
+    # GEGLU FF: 13,824 tokens x 512, inner 4*2/3*512
+    inner = int(4 * 2 / 3 * d)
+    kf = jax.random.split(jax.random.PRNGKey(43), 6)
+    x_ff = jax.random.normal(kf[0], (t * n_sp, d)).astype(dt)
+    beta = jax.random.normal(kf[1], (d,)) * 0.1
+    fwv = (jax.random.normal(kf[2], (d, inner)) / 23).astype(dt)
+    fwg = (jax.random.normal(kf[3], (d, inner)) / 23).astype(dt)
+    fw2 = (jax.random.normal(kf[4], (inner, d)) / 26).astype(dt)
+    check("geglu_ff",
+          lambda *a: geglu_ff_fused(*a, False, True),
+          lambda x, g, b, v, w, w2: _xla_reference(x, g, b, v, w, w2, True),
+          (x_ff, gamma, beta, fwv, fwg, fw2), tuple(range(6)))
+
+    # fused patch embed: full flagship volume (fwd; bwd via its XLA-twin VJP
+    # is exercised in the train-step timing)
+    patch, t_patch, dim = 20, 10, 512
+    patch_dim = t_patch * patch * patch
+    kp = jax.random.split(jax.random.PRNGKey(44), 5)
+    img = jax.random.normal(kp[0], (1, 1, 240, 480, 480)).astype(dt)
+    pe_g1 = jax.random.normal(kp[1], (patch_dim,)) * 0.2 + 1.0
+    pe_w = jax.random.normal(kp[2], (patch_dim, dim)) / 64.0
+    wg_ = (pe_w * pe_g1[:, None]).reshape(1, t_patch, patch, patch, dim)
+    s1 = (pe_w * pe_g1[:, None]).sum(axis=0)
+    b1 = jax.random.normal(kp[3], (dim,)) * 0.1
+    g2 = jax.random.normal(kp[4], (dim,)) * 0.2 + 1.0
+    b2 = jnp.zeros((dim,))
+    k1d = wg_.reshape(t_patch * patch, patch, dim).transpose(1, 0, 2)
+    got = jax.jit(lambda im: patch_embed_fused(
+        im, k1d, s1, b1, g2, b2, patch, t_patch, False))(img)
+    want = jax.jit(lambda im: _xla_twin(
+        im, k1d, s1, b1, g2, b2, patch, t_patch))(img)
+    record("patch_embed_fwd", rel_err(got, want))
+
+    # VQ nearest: ties near bf16 margins are legal argmax choices — compare
+    # SCORES of chosen codes, not raw indices
+    kv = jax.random.split(jax.random.PRNGKey(45), 2)
+    codebook = l2norm(jax.random.normal(kv[0], (8192, d)))
+    tokens = l2norm(jax.random.normal(kv[1], (t * n_sp, d)))
+    got_idx = jax.jit(lambda t_, c: vq_nearest_pallas(t_, c))(tokens, codebook)
+    want_idx = jnp.argmax(tokens @ codebook.T, axis=-1)
+    sims = tokens @ codebook.T
+    s_got = jnp.take_along_axis(sims, got_idx[:, None], axis=1)
+    s_want = jnp.take_along_axis(sims, want_idx[:, None], axis=1)
+    record("vq_nearest", float(jnp.abs(s_got - s_want).max()))
+
+    out["kernel_parity_ok"] = not failures
+    if failures:
+        out["kernel_parity_failures"] = [
+            f"{n}={e:.4f}" for n, e in failures]
+    return out
+
+
+def bench_train(cfg) -> dict:
+    """Whole-step training throughput at flagship B=TRAIN_BATCH: one jitted
+    train_step (fwd + symmetric InfoNCE + bwd + clip + Adam + VQ EMA,
+    reference CTClipTrainer.py:177-204) with per-layer remat, timed
+    steady-state."""
+    import dataclasses
+
+    import numpy as np
+
+    from ct_clip_ut_tpu.config import TrainConfig
+    from ct_clip_ut_tpu.train.trainer import create_train_state, make_train_step
+
+    model_cfg = dataclasses.replace(
+        cfg, ctvit=dataclasses.replace(cfg.ctvit, remat=True))
+    train_cfg = TrainConfig(compute_dtype="bfloat16")
+    state, tx = create_train_state(jax.random.PRNGKey(0), model_cfg, train_cfg)
+    state = jax.device_put(state)
+    step = make_train_step(model_cfg, train_cfg, tx)
+
+    image = jax.random.normal(
+        jax.random.PRNGKey(1), (TRAIN_BATCH, 1, 240, 480, 480), jnp.bfloat16)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (TRAIN_BATCH, 512), 0,
+                             model_cfg.bert.vocab_size)
+    tokens = {"input_ids": ids, "attention_mask": jnp.ones_like(ids)}
+
+    state, loss = step(state, image, tokens)   # compile
+    float(loss)
+    times = []
+    for _ in range(TRAIN_STEPS):
+        t0 = time.perf_counter()
+        state, loss = step(state, image, tokens)
+        loss_v = float(loss)                   # forces the step
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(loss_v), loss_v
+    med = sorted(times)[len(times) // 2]
+    return {"train_volumes_per_sec": round(TRAIN_BATCH / med, 2),
+            "train_step_ms": round(med * 1000, 1),
+            "train_batch": TRAIN_BATCH}
 
 
 def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
@@ -123,6 +295,14 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
     wps = OCC_WINDOWS / occ_s
     out["occlusion_windows_per_sec"] = round(wps, 1)
     out["occlusion_seconds_per_map"] = round(n_full / wps, 1)
+
+    if WITH_OCC_FULL:
+        # the full 12,167-window heatmap, timed end-to-end ONCE (scores +
+        # host-side separable window-sum assembly) — not extrapolated
+        t0 = time.perf_counter()
+        occ_mod.occlusion_heatmap(params, cfg, image, txt, occ=occ,
+                                  chunk=chunk)
+        out["occlusion_full_map_seconds"] = round(time.perf_counter() - t0, 1)
     return out
 
 
@@ -153,8 +333,12 @@ def main() -> None:
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    # min-of-N: the relay adds several-ms jitter per call
-    ours_vps = BATCH / min(times)
+    # headline = MEDIAN (sustained, robust to relay jitter spikes); min and
+    # mean are recorded alongside so the methodology is visible in the output
+    times.sort()
+    ours_vps = BATCH / times[len(times) // 2]
+    vps_best = BATCH / times[0]
+    vps_mean = BATCH / (sum(times) / len(times))
 
     # ---- reference algorithm on the same chip ----------------------------
     one_image = image[:1]
@@ -179,6 +363,8 @@ def main() -> None:
     ref_vps = 1.0 / min(ref_times)
 
     extra = {"ref_algorithm_vps": round(ref_vps, 3),
+             "zeroshot_vps_best": round(vps_best, 3),
+             "zeroshot_vps_mean": round(vps_mean, 3),
              "zeroshot_batch": BATCH, "timed_steps": STEPS}
 
     # MFU from XLA's own flop count of the compiled zero-shot program
@@ -192,6 +378,10 @@ def main() -> None:
         pass
     if WITH_ATTRIBUTION:
         extra.update(bench_attribution(params, cfg, image, prompt_tokens))
+    if WITH_KERNEL_PARITY:
+        extra.update(bench_kernel_parity())
+    if WITH_TRAIN:
+        extra.update(bench_train(cfg))
 
     print(json.dumps({
         "metric": "zeroshot_volumes_per_sec_per_chip",
@@ -200,6 +390,9 @@ def main() -> None:
         "vs_baseline": round(ours_vps / ref_vps, 2),
         "extra": extra,
     }))
+    if not extra.get("kernel_parity_ok", True):
+        raise SystemExit(
+            f"KERNEL PARITY FAILURE: {extra['kernel_parity_failures']}")
 
 
 if __name__ == "__main__":
