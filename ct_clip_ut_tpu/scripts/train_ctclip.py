@@ -51,7 +51,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator-address", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel mesh axis size (default: all devices)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size; data*model must "
+                        "equal the device count")
     return p
+
+
+def make_cli_mesh(args):
+    """("data", "model") mesh from --mesh-data/--mesh-model (None -> pure DP
+    over all devices, the reference's only strategy)."""
+    from ..config import MeshConfig
+    from ..parallel.mesh import make_mesh
+    if args.mesh_data is None and args.mesh_model == 1:
+        return make_mesh()
+    import jax
+    data = args.mesh_data
+    if data is None:
+        data = len(jax.devices()) // args.mesh_model
+    return make_mesh(MeshConfig(data=data, model=args.mesh_model))
 
 
 def main(argv=None):
@@ -118,7 +137,8 @@ def main(argv=None):
 
     trainer = CTClipTrainer(model_cfg, train_cfg, tokenizer,
                             train_dl, valid_dl,
-                            results_folder=args.results_folder, params=params)
+                            results_folder=args.results_folder, params=params,
+                            mesh=make_cli_mesh(args))
     if args.checkpoint and args.checkpoint.endswith(".msgpack"):
         trainer.load_model(args.checkpoint)
     trainer.train()
