@@ -12,6 +12,7 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -190,36 +191,92 @@ def peg(params, x: Array, video_shape: Tuple[int, int, int, int],
     return out.astype(x.dtype).reshape(orig_shape)
 
 
+def _peg_conv_residual_impl(v, w, b, causal):
+    """Depthwise 3^3 conv + bias + residual in VIDEO form [b,t,h,w,c], so
+    XLA fuses bias + residual + convert into the conv's epilogue fusion:
+    `peg(x) + x` adds after the reshape back to token form, and the
+    reshape/convert barrier left a separate full-HBM add pass (~1 ms/layer
+    at flagship B=16)."""
+    dim = v.shape[-1]
+    frame_pad = (2, 0) if causal else (1, 1)
+    out = jax.lax.conv_general_dilated(
+        v, w.astype(v.dtype),
+        window_strides=(1, 1, 1),
+        padding=(frame_pad, (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=dim,
+    )
+    out = out.astype(jnp.float32) + b + v.astype(jnp.float32)
+    return out.astype(v.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _peg_conv_residual(causal: bool):
+    """custom-VJP peg+residual with the Pallas tap-accumulator weight grad
+    (ops/pallas_peg_bwd.py) and an explicit flipped-tap depthwise conv for
+    the input grad. MEASURED NEGATIVE RESULT — kept opt-in, NOT the default:
+    at flagship B=8 ([8,24,24,24,512]) this backward is 4.96 ms/layer vs
+    3.70 ms for plain XLA autodiff of the same composition (bf16, v5e).
+    The weight grad is VPU-compute-bound (27 taps x N x C elementwise
+    multiplies are intrinsic), so the single-HBM-pass argument that paid
+    off for the attention/FF kernels does not apply, and XLA's depthwise
+    backward lowering is already near that VPU floor."""
+
+    @jax.custom_vjp
+    def f(v, w, b):
+        return _peg_conv_residual_impl(v, w, b, causal)
+
+    def fwd(v, w, b):
+        return f(v, w, b), (v, w, b)
+
+    def bwd(res, g):
+        v, w, b = res
+        dim = v.shape[-1]
+        wf = w[::-1, ::-1, ::-1]
+        frame_pad = (0, 2) if causal else (1, 1)
+        gv = g.astype(v.dtype)
+        dv = jax.lax.conv_general_dilated(
+            gv, wf.astype(v.dtype),
+            window_strides=(1, 1, 1),
+            padding=(frame_pad, (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=dim,
+        )
+        dv = (dv.astype(jnp.float32) + g.astype(jnp.float32)).astype(v.dtype)
+        if jax.default_backend() == "tpu" and dim % 128 == 0:
+            from .pallas_peg_bwd import peg_weight_grads
+            dw, db = peg_weight_grads(v, gv, causal=causal)
+        else:
+            _, vjp = jax.vjp(
+                lambda w_, b_: _peg_conv_residual_impl(v, w_, b_, causal),
+                w, b)
+            dw, db = vjp(g)
+        return dv, dw.astype(w.dtype), db.astype(b.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def peg_residual(params, x: Array, video_shape: Tuple[int, int, int, int],
                  causal: bool = True,
                  use_pallas: Optional[bool] = None) -> Array:
-    """peg(x) + x. Defaults to the XLA conv formulation: at flagship shapes
-    (B=16, 24^3 grid, dim 512 on v5e) XLA's depthwise-conv lowering measures
-    2.65 ms/apply vs 6.3 ms for the fused Pallas stencil (ops/pallas_peg.py,
-    27 sublane-roll+fma per frame — VPU shuffle-bound), so the kernel is
-    opt-in (use_pallas=True) rather than the default."""
+    """peg(x) + x. Defaults to the XLA conv formulation forward AND backward:
+    at flagship shapes (B=16, 24^3 grid, dim 512 on v5e) XLA's depthwise-conv
+    lowering measures 2.65 ms/apply vs 6.3 ms for the fused Pallas stencil
+    (ops/pallas_peg.py), and XLA autodiff's backward measures 3.70 ms/layer
+    vs 4.96 ms for the Pallas tap-accumulator VJP (_peg_conv_residual) — the
+    op is VPU-compute-bound both ways, so both kernels are opt-in recorded
+    negative results rather than defaults."""
     b, t, h, w = video_shape
     dim = x.shape[-1]
     if use_pallas is None:
         use_pallas = False
     if not (use_pallas and jax.default_backend() == "tpu"
             and dim % 128 == 0 and h >= 3 and w >= 3):
-        # add the residual in VIDEO form so XLA fuses bias + residual +
-        # convert into the conv's epilogue fusion: `peg(x) + x` adds after
-        # the reshape back to token form, and the reshape/convert barrier
-        # left a separate full-HBM add pass (~1 ms/layer at flagship B=16)
         orig_shape = x.shape
         v = x.reshape(b, t, h, w, dim)
-        frame_pad = (2, 0) if causal else (1, 1)
-        out = jax.lax.conv_general_dilated(
-            v, params["w"].astype(v.dtype),
-            window_strides=(1, 1, 1),
-            padding=(frame_pad, (1, 1), (1, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=dim,
-        )
-        out = out.astype(jnp.float32) + params["b"] + v.astype(jnp.float32)
-        return out.astype(x.dtype).reshape(orig_shape)
+        out = _peg_conv_residual_impl(v, params["w"], params["b"], causal)
+        return out.reshape(orig_shape)
 
     from .pallas_peg import peg_fused
     v = x.reshape(b, t, h, w, dim)

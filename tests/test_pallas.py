@@ -496,3 +496,49 @@ def test_pallas_packed_backward_all_grads(residual):
                                   "qs", "ks"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3,
                                    rtol=1e-4, err_msg=nm)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_pallas_peg_weight_grads_match_xla(causal):
+    """The single-pass PEG tap accumulator (interpret) reproduces XLA's
+    depthwise-conv weight and bias grads."""
+    from ct_clip_ut_tpu.ops.layers import _peg_conv_residual_impl
+    from ct_clip_ut_tpu.ops.pallas_peg_bwd import peg_weight_grads
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    b, t, h, w, c = 2, 5, 6, 7, 16
+    v = jax.random.normal(ks[0], (b, t, h, w, c))
+    wt = jax.random.normal(ks[1], (3, 3, 3, 1, c)) / 5.0
+    bias = jax.random.normal(ks[2], (c,)) * 0.1
+    g = jax.random.normal(ks[3], (b, t, h, w, c))
+
+    dw, db = peg_weight_grads(v, g, causal=causal, interpret=True)
+    _, vjp = jax.vjp(
+        lambda w_, b_: _peg_conv_residual_impl(v, w_, b_, causal), wt, bias)
+    dw_ref, db_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_peg_residual_custom_vjp_matches_autodiff(causal):
+    """peg_residual's custom VJP (conv-transpose dx + tap-accumulator dw)
+    equals plain XLA autodiff of the same composition for every input."""
+    from ct_clip_ut_tpu.ops.layers import (_peg_conv_residual,
+                                           _peg_conv_residual_impl)
+    ks = jax.random.split(jax.random.PRNGKey(12), 4)
+    b, t, h, w, c = 2, 4, 5, 6, 16
+    v = jax.random.normal(ks[0], (b, t, h, w, c))
+    wt = jax.random.normal(ks[1], (3, 3, 3, 1, c)) / 5.0
+    bias = jax.random.normal(ks[2], (c,)) * 0.1
+
+    f = _peg_conv_residual(causal)
+    g1 = jax.grad(lambda *a: (f(*a) ** 2).sum(), argnums=(0, 1, 2))(
+        v, wt, bias)
+    g2 = jax.grad(
+        lambda *a: (_peg_conv_residual_impl(*a, causal) ** 2).sum(),
+        argnums=(0, 1, 2))(v, wt, bias)
+    for a, b_, nm in zip(g1, g2, ["v", "w", "b"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
+                                   rtol=1e-4, err_msg=nm)
