@@ -365,6 +365,42 @@ def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
     return out
 
 
+def occlusion_scores_slabbed(params, cfg: CTCLIPConfig, image: Array,
+                             text_latents: Array, coords: Array, *,
+                             occ: OcclusionConfig = OcclusionConfig(),
+                             chunk: int = 8, slab: int = 2048):
+    """occlusion_scores_multi in host-level slabs of `slab` windows.
+
+    A full flagship sweep (12,167 windows at ~8 ms/window) is a ~100 s
+    SINGLE device execution when dispatched as one call — long enough to
+    trip execution watchdogs on relay-attached TPUs (observed as a worker
+    crash mid-sweep). Slabs keep each dispatch ~15-20 s with identical
+    numbers: the slab tail is padded with no-op (0,0,0) windows (every
+    window runs the same chunked program, so padding changes nothing), and
+    each slab re-derives the clean-cache prefix (~one dense forward,
+    amortized to noise over 2048 windows). Returns (originals [K],
+    scores [N, K]) like occlusion_scores_multi."""
+    import numpy as np
+    n = coords.shape[0]
+    if n <= slab:
+        return occlusion_scores_multi(params, cfg, image, text_latents,
+                                      coords, occ=occ, chunk=chunk)
+    originals = None
+    parts = []
+    for lo in range(0, n, slab):
+        part = coords[lo:lo + slab]
+        pad = slab - part.shape[0]
+        if pad:
+            part = jnp.concatenate(
+                [part, jnp.zeros((pad, 3), part.dtype)], axis=0)
+        o, s = occlusion_scores_multi(params, cfg, image, text_latents,
+                                      part, occ=occ, chunk=chunk)
+        if originals is None:
+            originals = np.asarray(o, np.float64)
+        parts.append(np.asarray(s, np.float64)[:slab - pad])
+    return originals, np.concatenate(parts, axis=0)
+
+
 def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
                       text_latent: Array, *,
                       occ: OcclusionConfig = OcclusionConfig(),
@@ -380,11 +416,10 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
         (dim - p) // s + 1
         for dim, p, s in zip((D, H, W), occ.patch_size, occ.stride))
 
-    original, scores = occlusion_scores(
-        params, cfg, image, text_latent, coords, occ=occ, chunk=chunk,
-        )
-    importance = np.maximum(float(original) - np.asarray(scores, np.float64),
-                            0.0)
+    originals, scores = occlusion_scores_slabbed(
+        params, cfg, image, text_latent[None], coords, occ=occ, chunk=chunk)
+    importance = np.maximum(float(np.asarray(originals).ravel()[0])
+                            - np.asarray(scores, np.float64)[:, 0], 0.0)
 
     heat = _window_sum_to_voxels(importance, grid_shape, (D, H, W),
                                  occ.patch_size, occ.stride)
@@ -436,9 +471,8 @@ def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,
     grid_shape = tuple((dim - p) // s + 1
                        for dim, p, s in zip((D, H, W), occ.patch_size,
                                             occ.stride))
-    originals, scores = occlusion_scores_multi(
-        params, cfg, image, text_latents, coords, occ=occ, chunk=chunk,
-        )
+    originals, scores = occlusion_scores_slabbed(
+        params, cfg, image, text_latents, coords, occ=occ, chunk=chunk)
     originals = np.asarray(originals, np.float64)        # [K]
     scores = np.asarray(scores, np.float64)              # [N, K]
 

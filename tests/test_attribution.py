@@ -309,3 +309,24 @@ def test_host_upsample_matches_device_resize():
         want = np.asarray(upsample_to(v, dst))
         got = upsample_to_host(v, dst)
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_occlusion_slabbed_matches_single_dispatch(setup):
+    """Host-level slabbing (watchdog-safe dispatch) reproduces the one-call
+    sweep exactly, including the padded remainder slab."""
+    params, tokens, image = setup
+    occ = OcclusionConfig(patch_size=(10, 16, 16), stride=(5, 8, 8),
+                          threshold=0.0)
+    coords = occ_mod.window_grid(image.shape[-3:], occ.patch_size, occ.stride)
+    assert coords.shape[0] > 13  # several slabs incl. a ragged tail
+    text_latent = occ_mod.report_text_latent(params, SMALL_CLIP, tokens)
+
+    o_ref, s_ref = occ_mod.occlusion_scores_multi(
+        params, SMALL_CLIP, image, text_latent[None], coords, occ=occ, chunk=4)
+    o_slab, s_slab = occ_mod.occlusion_scores_slabbed(
+        params, SMALL_CLIP, image, text_latent[None], coords, occ=occ,
+        chunk=4, slab=13)
+    np.testing.assert_allclose(np.asarray(o_slab).ravel(),
+                               np.asarray(o_ref).ravel(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_slab), np.asarray(s_ref),
+                               atol=1e-6)
