@@ -84,3 +84,26 @@ def test_trainer_driver_two_epochs(tmp_path):
     img, tok = trainer2._put_batch(images, texts)
     new_state, loss = trainer2.train_step(s, img, tok)
     assert np.isfinite(float(loss))
+
+
+def test_trainer_driver_tp_mesh_4x2(tmp_path):
+    """CLI-reachable tensor parallelism: make_cli_mesh(--mesh-model 2) gives
+    a ("data", "model") 4x2 mesh on the 8-device backend, and the trainer
+    drives a full epoch + eval on it with finite losses."""
+    import argparse
+
+    from ct_clip_ut_tpu.scripts.train_ctclip import make_cli_mesh
+
+    args = argparse.Namespace(mesh_data=None, mesh_model=2)
+    mesh = make_cli_mesh(args)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4, "model": 2}
+
+    cfg = TrainConfig(lr=1e-3, num_epochs=1, compute_dtype="float32",
+                      text_max_length=16)
+    trainer = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                            train_data=FakeBatches(2, 8),
+                            valid_data=FakeBatches(1, 4, with_labels=True),
+                            results_folder=tmp_path, mesh=mesh)
+    trainer.train()
+    assert all(np.isfinite(v) for v in trainer.train_losses["steps"])
