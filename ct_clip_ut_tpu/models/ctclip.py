@@ -71,7 +71,10 @@ def encode_image_latents(params, cfg: CTCLIPConfig, image: Array, *,
         freeze_vq=freeze_vq, return_weights=return_weights, taps=taps,
         rng=rng, deterministic=deterministic, prepatchified=prepatchified)
     tokens = vit_out.tokens                                # [b, t, h, w, d]
-    pooled = tokens.mean(axis=1)                           # [b, h, w, d]
+    # fp32-accumulated temporal mean, cast back: keeps the bf16 path free of
+    # a materialized fp32 copy of the grid (profiled round 3) and is a
+    # no-op for fp32 inputs
+    pooled = tokens.mean(axis=1, dtype=jnp.float32).astype(tokens.dtype)
     flat = pooled.reshape(pooled.shape[0], -1)             # [b, h*w*d]
     latents = linear(params["to_visual_latent"], flat)
     return l2norm(latents), vit_out
@@ -89,7 +92,8 @@ def encode_image_latents_from_tokens(params, cfg: CTCLIPConfig,
         params["visual_transformer"], cfg.ctvit, token_grid,
         freeze_vq=freeze_vq, return_weights=False,
         taps=NULL_TAPS, rng=None, deterministic=True)
-    pooled = vit_out.tokens.mean(axis=1)
+    pooled = vit_out.tokens.mean(axis=1, dtype=jnp.float32)
+    pooled = pooled.astype(vit_out.tokens.dtype)
     flat = pooled.reshape(pooled.shape[0], -1)
     latents = linear(params["to_visual_latent"], flat)
     return l2norm(latents), vit_out
@@ -112,7 +116,8 @@ def encode_image_latents_from_spatial_out(params, cfg: CTCLIPConfig,
     quant, _, _ = vq_apply(vt["vq"], x.reshape(b, t * h * w, d),
                            freeze=freeze_vq, decay=cfg.ctvit.vq_decay,
                            eps=cfg.ctvit.vq_eps)
-    pooled = quant.reshape(b, t, h, w, d).mean(axis=1)
+    pooled = quant.reshape(b, t, h, w, d).mean(axis=1, dtype=jnp.float32)
+    pooled = pooled.astype(quant.dtype)
     latents = linear(params["to_visual_latent"],
                      pooled.reshape(b, -1))
     return l2norm(latents)

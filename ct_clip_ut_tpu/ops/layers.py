@@ -62,8 +62,27 @@ def init_layernorm(dim: int, bias: bool = True):
 
 def layernorm(params, x: Array, eps: float = 1e-5) -> Array:
     """LayerNorm over the last axis, computed in fp32 (torch F.layer_norm
-    semantics, eps 1e-5)."""
+    semantics, eps 1e-5).
+
+    bf16 inputs take a fused-moment path: means accumulate in fp32 via the
+    reduce's accumulator (dtype=) and the normalize is ONE elementwise
+    expression, so XLA never materializes an fp32 copy of x — the generic
+    x.astype(f32)-first form costs a separate 3.3 ms convert of the
+    [221k, 512] token grid per stack at flagship B=16 (profiled round 3).
+    The E[x^2]-E[x]^2 variance form matches what the fused Pallas kernels
+    already use in-VMEM; fp32 inputs keep the original two-pass jnp.var
+    path bit-for-bit (the CPU parity oracle)."""
     orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True,
+                         dtype=jnp.float32)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+        y = y * params["gamma"]
+        if "beta" in params:
+            y = y + params["beta"]
+        return y.astype(orig_dtype)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
@@ -75,7 +94,16 @@ def layernorm(params, x: Array, eps: float = 1e-5) -> Array:
 
 
 def l2norm(t: Array, eps: float = 1e-12) -> Array:
-    """torch F.normalize(dim=-1) semantics: x / max(||x||, eps)."""
+    """torch F.normalize(dim=-1) semantics: x / max(||x||, eps).
+
+    bf16 inputs accumulate the square-sum in fp32 via the reduce (no
+    materialized fp32 copy of t — see layernorm); fp32 keeps the original
+    jnp.linalg.norm path bit-for-bit."""
+    if t.dtype == jnp.bfloat16:
+        ss = jnp.sum(jnp.square(t), axis=-1, keepdims=True,
+                     dtype=jnp.float32)
+        out = t.astype(jnp.float32) * (1.0 / jnp.maximum(jnp.sqrt(ss), eps))
+        return out.astype(t.dtype)
     n = jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True)
     out = t.astype(jnp.float32) / jnp.maximum(n, eps)
     return out.astype(t.dtype)

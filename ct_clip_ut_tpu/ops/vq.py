@@ -60,10 +60,13 @@ def _nearest(embed: Array, flat: Array, chunk: int = 2048,
         from .pallas_vq import vq_nearest_pallas
         # indices are integers (no tangents); stop_gradient keeps the Pallas
         # call out of the autodiff graph when the model is differentiated
+        # big tiles: tc = whole codebook when it fits VMEM (8192 x 512 bf16
+        # = 8 MB) measures ~49 vs ~43 TF/s at tc=2048 (round-3 sweep), and
+        # tm=512 amortizes the per-tile argmax VPU pass over more rows
         return vq_nearest_pallas(
             jax.lax.stop_gradient(flat).astype(compute_dtype),
             jax.lax.stop_gradient(embed).astype(compute_dtype),
-            tc=min(2048, embed.shape[0]))
+            tm=512, tc=min(8192, embed.shape[0]))
 
     pad = (-n) % chunk
     flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
