@@ -46,25 +46,8 @@ def main():
         for _ in range(3):
             np.asarray(zeroshot_probs(params, cfg, image, lat))
 
-    xs = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
-    print("trace files:", xs, flush=True)
-    if not xs:
-        return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xs[-1]], "framework_op_stats", {})
-    import csv as csv_mod
-    import io
-    rows = list(csv_mod.DictReader(io.StringIO(data)))
-    rows = [r for r in rows if r.get("host_or_device") == "Device"]
-    key_t = "total_self_time_in_us"
-    rows.sort(key=lambda r: -float(r.get(key_t, 0) or 0))
-    total = sum(float(r.get(key_t, 0) or 0) for r in rows)
-    print(f"{'op':60s} {'self_ms':>10s} {'%':>6s}")
-    for r in rows[:35]:
-        t = float(r.get(key_t, 0) or 0)
-        print(f"{r.get('operation', r.get('op_name', '?'))[:60]:60s} "
-              f"{t / 1e3:10.2f} {100 * t / total:6.1f}")
-    print(f"total device self time: {total / 1e3:.1f} ms over 3 runs")
+    from xplane import op_summary
+    op_summary(trace_dir)
 
 
 if __name__ == "__main__":
