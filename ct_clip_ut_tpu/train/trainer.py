@@ -250,9 +250,10 @@ class CTClipTrainer:
             if sampler is not None and hasattr(sampler, "set_epoch"):
                 sampler.set_epoch(epoch)
             total_loss, steps = 0.0, 0
-            for step, (images, texts) in enumerate(self.train_data, start=1):
-                images, tokens = self._put_batch(images, texts)
-                self.state, loss = self.train_step(self.state, images, tokens)
+            pending = None   # (step, device loss) fetched ONE step late
+
+            def log_step(step, loss):
+                nonlocal total_loss, steps
                 # with the global contrastive batch under GSPMD the loss is
                 # already the cross-process value — the reference's
                 # avg_device_loss gather (CTClipTrainer.py:156-162) averages
@@ -262,12 +263,29 @@ class CTClipTrainer:
                 steps += 1
                 if step % save_at == 0:
                     self.train_losses["steps"].append(loss)
-                if epoch == 1 and step == 1:
-                    self.train_losses["epochs"].append(loss)
-                    if step % save_at != 0:  # avoid double-append at save_at==1
-                        self.train_losses["steps"].append(loss)
-                    self.evaluate(0)  # step-0 bootstrap eval (reference :278-281)
                 self.maybe_print(f"Epoch {epoch} | Step {step} | Loss: {loss:.6f}")
+                return loss
+
+            for step, (images, texts) in enumerate(self.train_data, start=1):
+                images, tokens = self._put_batch(images, texts)
+                self.state, loss = self.train_step(self.state, images, tokens)
+                if epoch == 1 and step == 1:
+                    # bootstrap logging keeps its synchronous shape
+                    l0 = log_step(1, loss)
+                    self.train_losses["epochs"].append(l0)
+                    if 1 % save_at != 0:  # avoid double-append at save_at==1
+                        self.train_losses["steps"].append(l0)
+                    self.evaluate(0)  # step-0 bootstrap eval (reference :278-281)
+                    continue
+                # pipelined logging: materialize the PREVIOUS step's loss
+                # only after this step is dispatched, so the host never sits
+                # in the dispatch round-trip (~30 ms/step on relay-attached
+                # chips) — same step-by-step prints, one step late
+                if pending is not None:
+                    log_step(*pending)
+                pending = (step, loss)
+            if pending is not None:
+                log_step(*pending)
 
             avg = total_loss / max(steps, 1)
             self.train_losses["epochs"].append(avg)
