@@ -35,19 +35,14 @@ from .capture import similarity_score
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "chunk", "k"))
+@partial(jax.jit, static_argnames=("cfg", "steps", "chunk"))
 def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
                     text_embeds: Optional[Array], baseline_value: float,
                     steps: int, chunk: int, quantile: float,
-                    contrast: float, k: int):
-    """IG saliency in patch space, returned SPARSE as (values f16 [k],
-    flat indices int32 [k]) of the k largest entries. The q90 threshold
-    zeroes >=90% of the map by construction (reference
-    visualizations.py:882-886), so shipping only the surviving top decile
-    (+2% tie slack) cuts the device->host fetch from the dense ~110 MB f16
-    map to ~34 MB — the fetch, not the compute, dominated IG wall time on
-    relay-attached chips. Densification happens on host in
-    `integrated_gradients`."""
+                    contrast: float):
+    """IG saliency in patch space, dense [t, h, w, patch_dim] fp32 on
+    device. Transport to host goes through `_ig_pack` (sparse bitmask
+    encoding) — see `integrated_gradients`."""
     image = image.astype(jnp.float32)
     patches = patchify(image, cfg.ctvit.patch_size,
                        cfg.ctvit.temporal_patch_size)
@@ -87,12 +82,69 @@ def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
     q = jnp.quantile(ig, quantile)
     ig = jnp.where(ig >= q, ig, 0.0)
     ig = ig ** contrast                            # 0**0.05 == 0
-    ig = ig / (ig.max() + 1e-8)
-    # transport: top-k sparse, f16 values (the finished map is normalized to
-    # [0, 1], where f16 rounds at <= 2^-11 (~4.9e-4) — inside the <=1e-3
-    # saliency parity budget). All MATH above stays fp32.
-    vals, idx = jax.lax.top_k(ig.ravel(), k)
-    return vals.astype(jnp.float16), idx.astype(jnp.int32)
+    return ig / (ig.max() + 1e-8)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _ig_pack(ig: Array, k: int):
+    """Sparse transport encoding of the finished (thresholded) IG map.
+
+    The q90 threshold zeroes >=90% of the map by construction (reference
+    visualizations.py:882-886). Shipping the dense fp32 map costs ~221 MB;
+    top-k (f16 values + int32 indices) cut that to ~34 MB in round 2, and
+    the int32 index stream still dominated the fetch. This encoding drops
+    the indices entirely: a PACKED NONZERO BITMASK (n/8 bytes, ~6.9 MB at
+    flagship shapes) plus the nonzero VALUES compacted in flat-position
+    order (f16, ~11 MB at the 10% survivor rate) — the host rebuilds
+    positions with one np.unpackbits/flatnonzero pass. f16 rounds the
+    [0, 1]-normalized values at <= 2^-11 (~4.9e-4), inside the <=1e-3
+    saliency parity budget; all MATH stays fp32.
+
+    Returns (packed_mask uint8 [ceil(n/8)], values f16 [k], m int32) where
+    m is the true nonzero count; entries past k (never hit at the reference
+    q90 + slack sizing) are dropped, and the caller falls back to a dense
+    fetch if m > k."""
+    flat = ig.ravel()
+    mask = flat > 0
+    m = mask.sum().astype(jnp.int32)
+    # order-preserving compaction: nonzero j goes to slot rank(j), where
+    # rank = exclusive cumsum of the mask; zeros go to the k dropout slot
+    dest = jnp.where(mask, jnp.cumsum(mask) - 1, k)
+    vals = jnp.zeros((k,), jnp.float32).at[dest].set(flat, mode="drop")
+    return jnp.packbits(mask), vals.astype(jnp.float16), m
+
+
+def _ig_densify_np(cfg: CTCLIPConfig, image_shape, packed, vals, m, ig_dev):
+    """Host-side decode of `_ig_pack` output into the [D, H, W] voxel map."""
+    import numpy as np
+    _, _, D, H, W = image_shape
+    t = D // cfg.ctvit.temporal_patch_size
+    h = H // cfg.ctvit.patch_size
+    w = W // cfg.ctvit.patch_size
+    patch_dim = (cfg.ctvit.temporal_patch_size * cfg.ctvit.patch_size
+                 * cfg.ctvit.patch_size)
+    n = t * h * w * patch_dim
+    m = int(m)
+    k = vals.shape[0]
+    if m > k:
+        # survivor count exceeded the sized buffer (only possible off the
+        # reference q90 threshold) — correctness over transport savings
+        dense = np.asarray(ig_dev, np.float32).reshape(-1)[:n]
+    else:
+        pos = np.flatnonzero(np.unpackbits(np.asarray(packed))[:n])
+        dense = np.zeros((n,), np.float32)
+        dense[pos] = np.asarray(vals, np.float32)[:m]
+    return unpatchify_np(dense.reshape(t, h, w, patch_dim),
+                         cfg.ctvit.patch_size, cfg.ctvit.temporal_patch_size)
+
+
+def _ig_transport_k(cfg: CTCLIPConfig, image_shape, quantile: float) -> int:
+    _, _, D, H, W = image_shape
+    n = ((D // cfg.ctvit.temporal_patch_size) * (H // cfg.ctvit.patch_size)
+         * (W // cfg.ctvit.patch_size)
+         * cfg.ctvit.temporal_patch_size * cfg.ctvit.patch_size ** 2)
+    # top decile survives the threshold; +2% slack absorbs quantile ties
+    return min(n, int(n * (1.0 - quantile) * 1.02) + 16)
 
 
 def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
@@ -102,20 +154,33 @@ def integrated_gradients(params, cfg: CTCLIPConfig, text_tokens, image: Array,
                          quantile: float = 0.90,
                          contrast: float = 0.05):
     """[D, H, W] numpy IG saliency (pre-rot90), batch-1 image [1, 1, D, H, W]."""
-    import numpy as np
-    _, _, D, H, W = image.shape
-    t = D // cfg.ctvit.temporal_patch_size
-    h = H // cfg.ctvit.patch_size
-    w = W // cfg.ctvit.patch_size
-    patch_dim = (cfg.ctvit.temporal_patch_size * cfg.ctvit.patch_size
-                 * cfg.ctvit.patch_size)
-    n = t * h * w * patch_dim
-    # top decile survives the threshold; +2% slack absorbs quantile ties
-    k = min(n, int(n * (1.0 - quantile) * 1.02) + 16)
-    vals, idx = _ig_patch_space(params, cfg, text_tokens, image,
-                                text_embeds, baseline_value, steps,
-                                chunk, quantile, contrast, k)
-    dense = np.zeros((n,), np.float32)
-    dense[np.asarray(idx)] = np.asarray(vals, np.float32)
-    return unpatchify_np(dense.reshape(t, h, w, patch_dim),
-                         cfg.ctvit.patch_size, cfg.ctvit.temporal_patch_size)
+    ig = _ig_patch_space(params, cfg, text_tokens, image, text_embeds,
+                         baseline_value, steps, chunk, quantile, contrast)
+    k = _ig_transport_k(cfg, image.shape, quantile)
+    packed, vals, m = _ig_pack(ig, k)
+    return _ig_densify_np(cfg, image.shape, packed, vals, m, ig)
+
+
+def integrated_gradients_pipelined(params, cfg: CTCLIPConfig, items, *,
+                                   text_embeds: Optional[Array] = None,
+                                   baseline_value: float = 1.0,
+                                   steps: int = 50, chunk: int = 5,
+                                   quantile: float = 0.90,
+                                   contrast: float = 0.05):
+    """IG maps for a sequence of (text_tokens, image) pairs, overlapping each
+    map's device->host transport + host densify with the NEXT map's device
+    compute (JAX dispatch is async; the device queue serializes the compute
+    while the host unpacks the previous result). Sustained cost per map is
+    max(compute, transport) instead of their sum — the same pipelining the
+    zero-shot eval loop uses. Yields [D, H, W] numpy maps in order."""
+    pending = []
+    for text_tokens, image in items:
+        ig = _ig_patch_space(params, cfg, text_tokens, image, text_embeds,
+                             baseline_value, steps, chunk, quantile, contrast)
+        k = _ig_transport_k(cfg, image.shape, quantile)
+        pending.append((image.shape, _ig_pack(ig, k), ig))
+        if len(pending) > 1:
+            shape, (packed, vals, m), ig_prev = pending.pop(0)
+            yield _ig_densify_np(cfg, shape, packed, vals, m, ig_prev)
+    for shape, (packed, vals, m), ig_prev in pending:
+        yield _ig_densify_np(cfg, shape, packed, vals, m, ig_prev)
