@@ -400,6 +400,23 @@ def test_pallas_patch_embed_matches_conv_formulation():
         p, V.patchify(im, patch, t_patch)) ** 2).sum())(img)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
 
+    # parameter grads: the residual-based backward (saved conv/moments +
+    # Pallas dkw kernel, interpret mode) vs full autodiff through the twin
+    def loss_fused(k1d_, s1_, b1_, g2_, b2_):
+        return (patch_embed_fused(img, k1d_, s1_, b1_, g2_, b2_,
+                                  patch, t_patch, True) ** 2).sum()
+
+    def loss_twin(k1d_, s1_, b1_, g2_, b2_):
+        return (_xla_twin(img, k1d_, s1_, b1_, g2_, b2_,
+                          patch, t_patch) ** 2).sum()
+
+    args = (k1d, s1, bias, p["norm_out"]["gamma"], p["norm_out"]["beta"])
+    gf = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
+    gt = jax.grad(loss_twin, argnums=tuple(range(5)))(*args)
+    for name, a, b2_ in zip(("kw", "s1", "b1", "g2", "b2"), gf, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2_),
+                                   atol=1e-3, err_msg=name)
+
 
 @pytest.mark.parametrize("residual", [False, True])
 def test_pallas_ff_backward_all_grads(residual):
