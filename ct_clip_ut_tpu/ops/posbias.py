@@ -117,6 +117,42 @@ def continuous_pos_bias(params, *dimensions: int, log_dist: bool = True) -> Arra
     return t.transpose(perm).reshape(heads, n, n)
 
 
+def continuous_pos_bias_stripe(params, d1: int, d2: int, row_start,
+                               row_len: int, log_dist: bool = True) -> Array:
+    """Row stripe of the 2D CPB table for sequence-parallel attention:
+    [heads, row_len * d2, d1 * d2] — the bias rows of the query tokens whose
+    GRID ROWS are [row_start, row_start + row_len), against all keys.
+
+    Equal to continuous_pos_bias(params, d1, d2)[:, row_start*d2 :
+    (row_start+row_len)*d2, :] without ever materializing the [N, N] table —
+    each device of a ring-attention mesh builds only its own stripe
+    (parallel/ring_attention.py). `row_start` may be traced (it is the
+    device's axis_index under shard_map)."""
+    f32 = jnp.float32
+    offset_axes = [jnp.arange(-(d - 1), d, dtype=f32) for d in (d1, d2)]
+    off_grid = jnp.stack(jnp.meshgrid(*offset_axes, indexing="ij"), axis=-1)
+    table = _cpb_mlp(params, off_grid.reshape(-1, 2), log_dist)
+    heads = table.shape[-1]
+    t = table.reshape(2 * d1 - 1, 2 * d2 - 1, heads)
+
+    # axis 0 (grid rows): query rows are the local subset
+    rows = row_start + jnp.arange(row_len)
+    rel0 = rows[:, None] - jnp.arange(d1)[None, :] + (d1 - 1)  # [m, d1]
+    sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
+    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(m d1), 2d2-1, heads]
+
+    # axis 1 (grid cols): full pair grid
+    ar = jnp.arange(d2)
+    rel1 = ar[:, None] - ar[None, :] + (d2 - 1)                # [d2, d2]
+    sel1 = jax.nn.one_hot(rel1.reshape(-1), 2 * d2 - 1, dtype=f32)
+    t = jnp.tensordot(sel1, jnp.moveaxis(t, 1, 0), axes=(1, 0))
+    t = jnp.moveaxis(t, 0, 1)                    # [(m d1), (d2 d2), heads]
+
+    t = t.reshape(row_len, d1, d2, d2, heads)    # (mq, hk, wq, wk, head)
+    t = t.transpose(4, 0, 2, 1, 3)               # [head, mq, wq, hk, wk]
+    return t.reshape(heads, row_len * d2, d1 * d2)
+
+
 def causal_mask(i: int, j: int) -> Array:
     """Boolean [i, j] mask that is True where attention is DISALLOWED
     (strictly-future keys), matching triu(j - i + 1) (reference attention.py:171)."""
