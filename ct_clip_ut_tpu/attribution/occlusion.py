@@ -342,27 +342,65 @@ def occlusion_scores(params, cfg: CTCLIPConfig, image: Array,
     return scores[0], scores[1:]
 
 
+def _expand_axis(out, ax, n, p, s):
+    """Window->voxel sum along one axis: out has windows on axis `ax`;
+    returns the array with that axis expanded to `n` voxels, each voxel
+    holding the sum over the windows covering it. Voxel i is covered by
+    windows g with g*s <= i < g*s + p, i.e. g in (floor((i-p)/s),
+    floor(i/s)]; with the cumulative sum S along the window axis that whole
+    range collapses to S[hi] - S[lo] — two takes and a subtract per axis,
+    independent of the window overlap factor."""
+    import numpy as np
+    g = out.shape[ax]
+    i = np.arange(n)
+    hi = np.clip(i // s, -1, g - 1)                  # last covering window
+    lo = np.clip((i - p) // s, -1, g - 1)            # last NON-covering one
+    s_cum = np.cumsum(out, axis=ax, dtype=out.dtype)
+    pad_shape = list(out.shape)
+    pad_shape[ax] = 1
+    s_pad = np.concatenate(
+        [np.zeros(pad_shape, out.dtype), s_cum], axis=ax)  # S[-1] = 0
+    return (np.take(s_pad, hi + 1, axis=ax)
+            - np.take(s_pad, lo + 1, axis=ax))
+
+
+def _axis_cover_counts(n, g, p, s):
+    """[n] float32 — how many windows cover each voxel along one axis, with
+    the reference's count==0 -> 1 guard folded in (visualizations.py:411):
+    uncovered voxels hold 0 importance, so dividing by 1 reproduces the
+    reference exactly. The 3D count map is the outer product of the per-axis
+    counts — it is never materialized (a broadcast divide per axis replaces
+    the reference's full-volume count tensor)."""
+    import numpy as np
+    c = _expand_axis(np.ones((g,), np.float32), 0, n, p, s)
+    c[c == 0] = 1.0
+    return c
+
+
 def _window_sum_to_voxels(values, grid_shape, vol_shape, patch, stride):
     """Host-side scatter-add of per-window values into voxel space (the
-    reference accumulation, visualizations.py:391-392). Separable trick: the
-    window sum factorizes per axis, so three small 1D matmuls replace 12k
-    3D slice-adds. Kept on host — on TPU a [D, H, W, 1]-channel layout pads
-    the singleton to 128 lanes (a 28 GB buffer for the flagship volume)."""
+    reference accumulation, visualizations.py:391-392). Separable: the
+    window sum factorizes per axis (three cumsum-difference expansions,
+    `_expand_axis`), fp32 throughout. Kept on host — on TPU a [D, H, W, 1]-
+    channel layout pads the singleton to 128 lanes (a 28 GB buffer for the
+    flagship volume)."""
     import numpy as np
-    v = np.asarray(values, np.float64).reshape(grid_shape)
-    # per-axis window->voxel incidence matrices: M[i, g] = 1 if voxel i is
-    # covered by window g along that axis
-    out = v
+    out = np.asarray(values, np.float32).reshape(grid_shape)
     for ax in range(3):
-        g = grid_shape[ax]
-        n = vol_shape[ax]
-        m = np.zeros((n, g))
-        for gi in range(g):
-            start = gi * stride[ax]
-            m[start:start + patch[ax], gi] = 1.0
-        out = np.tensordot(m, out, axes=(1, ax))  # contract grid axis `ax`
-        out = np.moveaxis(out, 0, ax)
+        out = _expand_axis(out, ax, vol_shape[ax], patch[ax], stride[ax])
     return out
+
+
+def _divide_axis_counts(heat, grid_shape, vol_shape, patch, stride):
+    """In-place heat /= count using the separable per-axis coverage counts
+    (see _axis_cover_counts) — replaces the reference's materialized
+    [D, H, W] count tensor with three broadcast divides."""
+    for ax in range(3):
+        c = _axis_cover_counts(vol_shape[ax], grid_shape[ax],
+                               patch[ax], stride[ax])
+        shape = [1, 1, 1]
+        shape[ax] = vol_shape[ax]
+        heat /= c.reshape(shape)
 
 
 def occlusion_scores_slabbed(params, cfg: CTCLIPConfig, image: Array,
@@ -423,10 +461,8 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
 
     heat = _window_sum_to_voxels(importance, grid_shape, (D, H, W),
                                  occ.patch_size, occ.stride)
-    count = _window_sum_to_voxels(np.ones_like(importance), grid_shape,
-                                  (D, H, W), occ.patch_size, occ.stride)
-    count[count == 0] = 1.0
-    heat = heat / count
+    _divide_axis_counts(heat, grid_shape, (D, H, W), occ.patch_size,
+                        occ.stride)
     heat = (heat - heat.min()) / (heat.max() - heat.min() + 1e-8)
     # the reference then trilinear-resizes to the SAME shape — identity up to
     # interpolation (visualizations.py:416-420); skipped as a no-op
@@ -476,15 +512,13 @@ def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,
     originals = np.asarray(originals, np.float64)        # [K]
     scores = np.asarray(scores, np.float64)              # [N, K]
 
-    count = _window_sum_to_voxels(np.ones(scores.shape[0]), grid_shape,
-                                  (D, H, W), occ.patch_size, occ.stride)
-    count[count == 0] = 1.0
-
     heatmaps = []
     for k in range(scores.shape[1]):
         importance = np.maximum(originals[k] - scores[:, k], 0.0)
         heat = _window_sum_to_voxels(importance, grid_shape, (D, H, W),
-                                     occ.patch_size, occ.stride) / count
+                                     occ.patch_size, occ.stride)
+        _divide_axis_counts(heat, grid_shape, (D, H, W), occ.patch_size,
+                            occ.stride)
         heat = (heat - heat.min()) / (heat.max() - heat.min() + 1e-8)
         heat[heat < occ.threshold] = 0.0
         heatmaps.append(heat.astype(np.float32))
