@@ -423,8 +423,10 @@ def occlusion_scores_slabbed(params, cfg: CTCLIPConfig, image: Array,
     if n <= slab:
         return occlusion_scores_multi(params, cfg, image, text_latents,
                                       coords, occ=occ, chunk=chunk)
-    originals = None
-    parts = []
+    # dispatch every slab before fetching any (JAX dispatch is async; the
+    # device queue serializes the sweeps) so each slab's device->host score
+    # fetch overlaps the next slab's compute instead of stalling it
+    pending = []
     for lo in range(0, n, slab):
         part = coords[lo:lo + slab]
         pad = slab - part.shape[0]
@@ -433,9 +435,9 @@ def occlusion_scores_slabbed(params, cfg: CTCLIPConfig, image: Array,
                 [part, jnp.zeros((pad, 3), part.dtype)], axis=0)
         o, s = occlusion_scores_multi(params, cfg, image, text_latents,
                                       part, occ=occ, chunk=chunk)
-        if originals is None:
-            originals = np.asarray(o, np.float64)
-        parts.append(np.asarray(s, np.float64)[:slab - pad])
+        pending.append((o, s, pad))
+    originals = np.asarray(pending[0][0], np.float64)
+    parts = [np.asarray(s, np.float64)[:slab - pad] for _, s, pad in pending]
     return originals, np.concatenate(parts, axis=0)
 
 

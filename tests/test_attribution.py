@@ -135,6 +135,22 @@ def test_ig_matches_serial_loop(setup):
     np.testing.assert_allclose(np.asarray(got), ig, atol=1e-3)
 
 
+def test_ig_pipelined_matches_serial_calls(setup):
+    """The pipelined multi-map driver yields exactly the per-call maps, in
+    order (the overlap only reorders host fetches, never math)."""
+    params, tokens, image = setup
+    image2 = image * 0.5 + 0.1
+    items = [(tokens, image), (tokens, image2), (tokens, image)]
+    want = [ig_mod.integrated_gradients(params, SMALL_CLIP, tk, im,
+                                        steps=4, chunk=2)
+            for tk, im in items]
+    got = list(ig_mod.integrated_gradients_pipelined(
+        params, SMALL_CLIP, items, steps=4, chunk=2))
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0)
+
+
 # ---------------------------------------------------------------------------
 # grad-cam
 # ---------------------------------------------------------------------------
