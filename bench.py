@@ -62,6 +62,34 @@ TRAIN_STEPS = int(os.environ.get("CTCLIP_BENCH_TRAIN_STEPS", "5"))
 KERNEL_TOL = float(os.environ.get("CTCLIP_BENCH_KERNEL_TOL", "3e-2"))
 
 
+def _probe_chip(deadline_s: float = 180.0) -> None:
+    """Fail FAST if the TPU worker is dead. A dead relay-attached worker
+    makes every JAX call hang forever (observed: multi-hour outages after a
+    watchdog kill) — a trivial matmul on a daemon thread bounded by a
+    deadline turns that into a clear error instead of a silent driver
+    timeout."""
+    import threading
+
+    done = threading.Event()
+    err: list = []
+
+    def probe():
+        try:
+            x = jnp.ones((128, 128), jnp.bfloat16)
+            float((x @ x).astype(jnp.float32).sum())
+            done.set()
+        except Exception as e:          # pragma: no cover
+            err.append(e)
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(deadline_s) or err:
+        raise SystemExit(
+            f"TPU probe did not complete within {deadline_s:.0f}s "
+            f"(worker dead or relay unavailable){': ' + repr(err[0]) if err else ''}")
+
+
 def flagship_cfg() -> CTCLIPConfig:
     return CTCLIPConfig(
         dim_text=768, dim_image=294912, dim_latent=512,
@@ -350,6 +378,7 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
 
 
 def main() -> None:
+    _probe_chip()
     cfg = flagship_cfg()
     key = jax.random.PRNGKey(0)
     params = init_ctclip(key, cfg)
@@ -437,13 +466,25 @@ def main() -> None:
     if WITH_TRAIN:
         extra.update(bench_train(cfg))
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "zeroshot_volumes_per_sec_per_chip",
         "value": round(ours_vps, 3),
         "unit": "volumes/s",
         "vs_baseline": round(ours_vps / ref_vps, 2),
         "extra": extra,
-    }))
+    })
+    print(line)
+    # append to the committed measurement ledger so a successful run
+    # survives even if a later driver invocation hits a dead chip
+    try:
+        import datetime
+        ts = datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds")
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOG.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": ts, "run": json.loads(line)}) + "\n")
+    except Exception:
+        pass
     if not extra.get("kernel_parity_ok", True):
         raise SystemExit(
             f"KERNEL PARITY FAILURE: {extra['kernel_parity_failures']}")
