@@ -539,6 +539,21 @@ def occlusion_scores_sharded(params, cfg: CTCLIPConfig, image: Array,
     Returns (original_score, scores [N]) like occlusion_scores. `coords`
     must have length divisible by the data-axis size (pad with window (0,0,0)
     duplicates and slice, like the reference trims extras)."""
+    originals, scores = occlusion_scores_multi_sharded(
+        params, cfg, image, text_latent[None], coords, mesh,
+        occ=occ, chunk=chunk)
+    return originals.ravel()[0], scores[:, 0]
+
+
+def occlusion_scores_multi_sharded(params, cfg: CTCLIPConfig, image: Array,
+                                   text_latents: Array, coords: Array,
+                                   mesh, *,
+                                   occ: OcclusionConfig = OcclusionConfig(),
+                                   chunk: int = 8):
+    """Window-sharded multi-pathology sweep: the mesh "data" axis splits the
+    window list AND one sweep scores every pathology (occlusion_scores_multi)
+    — the two orthogonal speedups over the reference composed. Returns
+    (original_scores [K], scores [N, K])."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -548,17 +563,18 @@ def occlusion_scores_sharded(params, cfg: CTCLIPConfig, image: Array,
     coords_p = jnp.concatenate([coords, coords[:1].repeat(pad, 0)], axis=0) \
         if pad else coords
 
-    def per_device(image, text_latent, my_coords):
-        original, scores = occlusion_scores(
-            params, cfg, image, text_latent, my_coords, occ=occ, chunk=chunk)
-        return original, jax.lax.all_gather(scores, "data", tiled=True)
+    def per_device(image, text_latents, my_coords):
+        originals, scores = occlusion_scores_multi(
+            params, cfg, image, text_latents, my_coords, occ=occ, chunk=chunk)
+        return originals, jax.lax.all_gather(scores, "data", axis=0,
+                                             tiled=True)
 
     fn = shard_map(per_device, mesh=mesh,
                    in_specs=(P(), P(), P("data")),
                    out_specs=(P(), P()),
                    check_rep=False)
-    original, scores = fn(image, text_latent, coords_p)
-    return original, scores[:n]
+    originals, scores = fn(image, text_latents, coords_p)
+    return originals, scores[:n]
 
 
 def report_text_latent(params, cfg: CTCLIPConfig, text_tokens) -> Array:
