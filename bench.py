@@ -483,8 +483,10 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOG.jsonl"), "a") as f:
             f.write(json.dumps({"ts": ts, "run": json.loads(line)}) + "\n")
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+        print(f"WARNING: could not append BENCH_LOG.jsonl: {e!r}",
+              file=sys.stderr)
     if not extra.get("kernel_parity_ok", True):
         raise SystemExit(
             f"KERNEL PARITY FAILURE: {extra['kernel_parity_failures']}")

@@ -97,6 +97,9 @@ class Visualizations:
                              steps: int = 50):
         sal = ig.integrated_gradients(self.ctx.params, self.ctx.cfg,
                                       text_tokens, image, steps=steps)
+        self._save_ig_map(sal, image, scan_name)
+
+    def _save_ig_map(self, sal, image, scan_name):
         sal = rot90_ct(sal)
         img = self._image_np(image)
         out = viz.results_subdirectory(self.results_folder,
@@ -106,6 +109,24 @@ class Visualizations:
             viz.visualize_overlay(img, sal, scan_name,
                                   "Integrated Gradients (1)",
                                   out / f"{scan_name}.gif")
+
+    def integrated_gradients_worklist(self, samples, steps: int = 50):
+        """IG over a prepared (image, text_tokens, scan_name) worklist with
+        device/host overlap: each map's transport + densify + save/render
+        runs while the NEXT scan's map computes on device
+        (integrated_gradients_pipelined) — the dispatcher routes the
+        multi-scan IG pass here instead of the serialized per-scan call."""
+        metas = []
+
+        def items():
+            for image, text_tokens, scan_name in samples:
+                metas.append((image, scan_name))
+                yield (text_tokens, image)
+
+        for sal in ig.integrated_gradients_pipelined(
+                self.ctx.params, self.ctx.cfg, items(), steps=steps):
+            image, scan_name = metas.pop(0)
+            self._save_ig_map(sal, image, scan_name)
 
     def grad_cam(self, image, text_tokens, labels, scan_name, path):
         maps = gc.grad_cam_maps(self.ctx.params, self.ctx.cfg, text_tokens,
@@ -189,18 +210,31 @@ class Visualizations:
             method = getattr(self, name)
             print(f"{name} visualization started.")
             start = time.time()
-            for sample in self.ctx.data:
-                image, text, labels, scan_name, path = sample
-                image = jnp.asarray(image)
-                if image.ndim == 4:
-                    image = image[None]
-                text_tokens = self._tokenize(
-                    text if isinstance(text, str) else text[0])
-                kwargs = {}
-                if name == "occlusion" and isinstance(enabled, dict):
-                    kwargs = enabled
-                method(image, text_tokens,
-                       np.asarray(labels).reshape(-1),
-                       scan_name if isinstance(scan_name, str) else scan_name[0],
-                       path if isinstance(path, str) else path[0], **kwargs)
+
+            def prepared():
+                for sample in self.ctx.data:
+                    image, text, labels, scan_name, path = sample
+                    image = jnp.asarray(image)
+                    if image.ndim == 4:
+                        image = image[None]
+                    text_tokens = self._tokenize(
+                        text if isinstance(text, str) else text[0])
+                    yield (image, text_tokens,
+                           np.asarray(labels).reshape(-1),
+                           scan_name if isinstance(scan_name, str)
+                           else scan_name[0],
+                           path if isinstance(path, str) else path[0])
+
+            if name == "integrated_gradients":
+                # pipelined across scans: map k's fetch/save overlaps
+                # map k+1's device compute
+                self.integrated_gradients_worklist(
+                    (img, tok, nm) for img, tok, _, nm, _ in prepared())
+            else:
+                for image, text_tokens, labels, scan_name, path in prepared():
+                    kwargs = {}
+                    if name == "occlusion" and isinstance(enabled, dict):
+                        kwargs = enabled
+                    method(image, text_tokens, labels, scan_name, path,
+                           **kwargs)
             print(f"{name} completed in {time.time() - start:.1f}s")

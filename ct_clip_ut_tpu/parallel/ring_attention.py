@@ -68,6 +68,9 @@ def ring_cosine_attention(params, cfg: AttentionConfig, x: Array,
     """
     assert not cfg.causal and cfg.num_null_kv == 0, \
         "ring path covers the CT-ViT spatial encoder (non-causal, no null kv)"
+    assert cfg.dropout == 0.0, \
+        "ring path is deterministic: attention dropout is not implemented " \
+        "(the dense op would apply cfg.dropout; refusing to drop it silently)"
     b, n_loc, _ = x.shape
     h, dh = cfg.heads, cfg.dim_head
     f32 = jnp.float32

@@ -35,6 +35,7 @@ Validated for agreement with the dense encoder on the virtual CPU mesh
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -91,6 +92,9 @@ def ctvit_spatial_sp(vt_params, cfg: CTViTConfig, tokens: Array,
     Returns the post-final-LN spatial output block [b, t, h_loc, w, d] —
     the same rows the dense stack produces (models/ctvit.ctvit_encode)."""
     tcfg = cfg.spatial_transformer()
+    assert tcfg.attn_dropout == 0.0 and tcfg.ff_dropout == 0.0, \
+        "SP spatial stack is deterministic: dropout is not implemented " \
+        "(the dense stack would apply it; refusing to drop it silently)"
     b, t, h_loc, w, d = tokens.shape
     idx = jax.lax.axis_index(axis_name)
 
@@ -130,12 +134,10 @@ def _encode_sp_device(params, image: Array, *, cfg: CTCLIPConfig,
                                                  freeze_vq=True)
 
 
-def encode_image_latents_sp(params, cfg: CTCLIPConfig, image: Array, mesh,
-                            axis_name: str = "model") -> Array:
-    """Image-tower latents with the spatial stage sequence-parallel over
-    `mesh`'s `axis_name`: [b, 1, T, H, W] volume (replicated or sharded on
-    H) -> [b, dim_latent] replicated latents, numerically matching
-    models/ctclip.encode_image_latents."""
+@functools.lru_cache(maxsize=None)
+def _encode_sp_jitted(cfg: CTCLIPConfig, mesh, axis_name: str):
+    """Jitted shard_map encoder, cached per (cfg, mesh, axis) so repeated
+    per-volume calls reuse one compiled program instead of re-tracing."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -145,4 +147,13 @@ def encode_image_latents_sp(params, cfg: CTCLIPConfig, image: Array, mesh,
         in_specs=(P(), P(None, None, None, axis_name, None)),
         out_specs=P(),
         check_rep=False)
-    return jax.jit(lambda p, im: fn(p, im))(params, image)
+    return jax.jit(fn)
+
+
+def encode_image_latents_sp(params, cfg: CTCLIPConfig, image: Array, mesh,
+                            axis_name: str = "model") -> Array:
+    """Image-tower latents with the spatial stage sequence-parallel over
+    `mesh`'s `axis_name`: [b, 1, T, H, W] volume (replicated or sharded on
+    H) -> [b, dim_latent] replicated latents, numerically matching
+    models/ctclip.encode_image_latents."""
+    return _encode_sp_jitted(cfg, mesh, axis_name)(params, image)
