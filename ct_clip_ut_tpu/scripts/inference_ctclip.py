@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize", nargs="*", default=[],
                    choices=["raw_attention_maps", "attention_rollout",
                             "integrated_gradients", "grad_cam", "occlusion"])
+    p.add_argument("--occlusion-text-embeds", action="store_true",
+                   help="occlusion in the diff-embedding bypass mode: ONE "
+                        "window sweep scores every positive pathology "
+                        "(requires --diff-embeds; reference "
+                        "visualizations.py:1037-1044 re-sweeps per pathology)")
+    p.add_argument("--occlusion-prompt", default="",
+                   help="tag recorded in occlusion artifact filenames")
     return p
 
 
@@ -83,11 +90,17 @@ def main(argv=None):
     ctx = AttributionContext(params=params, cfg=model_cfg,
                              tokenizer=tokenizer, data=ds,
                              diff_embeds=diff_embeds)
+    visualize = {name: True for name in args.visualize}
+    if "occlusion" in visualize and (args.occlusion_text_embeds
+                                     or args.occlusion_prompt):
+        visualize["occlusion"] = {
+            "use_text_embeds": args.occlusion_text_embeds,
+            "prompt": args.occlusion_prompt}
     inference = CTClipInference(
         params, model_cfg, tokenizer, dl,
         results_folder=args.results_folder,
         zero_shot=args.zero_shot,
-        visualize={name: True for name in args.visualize},
+        visualize=visualize,
         attribution_ctx=ctx)
     inference.infer()
 

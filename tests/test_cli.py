@@ -25,6 +25,15 @@ def test_inference_parser():
         "--checkpoint", "ck.pt", "--zero-shot",
         "--visualize", "occlusion", "grad_cam"])
     assert args.zero_shot and args.visualize == ["occlusion", "grad_cam"]
+    assert not args.occlusion_text_embeds
+
+    args = inference_ctclip.build_parser().parse_args([
+        "--data-valid", "/d/v", "--valid-reports", "v.csv",
+        "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
+        "--checkpoint", "ck.pt", "--visualize", "occlusion",
+        "--occlusion-text-embeds", "--occlusion-prompt", "panel",
+        "--diff-embeds", "diff.npy"])
+    assert args.occlusion_text_embeds and args.occlusion_prompt == "panel"
 
 
 def test_inference_parser_rejects_unknown_method():
