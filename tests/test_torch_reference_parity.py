@@ -445,3 +445,61 @@ def test_occlusion_parity(twins):
     mine = occ_mod.occlusion_heatmap(params, SMALL_CLIP, j_image, txt,
                                      occ=occ)
     np.testing.assert_allclose(mine, heat, atol=1e-3)
+
+
+def test_occlusion_text_embeds_parity(twins):
+    """The diff-embedding bypass mode against the REAL reference model:
+    torch runs `model(None, occluded, text_embeds)` per window per pathology
+    (visualizations.py:1037-1044, ctclip.py:107); ours scores both
+    pathologies from ONE sweep (occlusion_heatmaps_multi) through
+    diff_embedding_latent. Maps must agree <=1e-3."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params, image_np, ids_np = twins
+    t_image, _ = _torch_inputs(image_np, ids_np, n=1)
+    j_image, _ = _jax_inputs(image_np, ids_np, n=1)
+    patch, stride = (10, 16, 16), (5, 8, 8)
+
+    embeds_np = np.stack([
+        np.asarray(jax.random.normal(jax.random.PRNGKey(7 + k),
+                                     (SMALL_CLIP.dim_text,)), np.float32)
+        for k in range(2)])
+
+    D, H, W = t_image.shape[-3:]
+    ref_maps = []
+    for k in range(2):
+        emb = torch.tensor(embeds_np[k]).unsqueeze(0)
+        with torch.no_grad():
+            sim, *_ = model(None, t_image, emb)
+            original = sim[0, 0].item()
+        heat = np.zeros((D, H, W))
+        count = np.zeros((D, H, W))
+        for d in range(0, D - patch[0] + 1, stride[0]):
+            for h in range(0, H - patch[1] + 1, stride[1]):
+                for w in range(0, W - patch[2] + 1, stride[2]):
+                    occluded = t_image.clone()
+                    occluded[:, :, d:d + patch[0], h:h + patch[1],
+                             w:w + patch[2]] = -1
+                    with torch.no_grad():
+                        sim, *_ = model(None, occluded, emb)
+                    imp = max(original - sim[0, 0].item(), 0)
+                    heat[d:d + patch[0], h:h + patch[1],
+                         w:w + patch[2]] += imp
+                    count[d:d + patch[0], h:h + patch[1],
+                          w:w + patch[2]] += 1
+        count[count == 0] = 1
+        heat = heat / count
+        heat = (heat - heat.min()) / (heat.max() - heat.min() + 1e-8)
+        ref_maps.append(heat)
+
+    latents = jnp.stack([
+        occ_mod.diff_embedding_latent(params, SMALL_CLIP,
+                                      jnp.asarray(embeds_np[k]))
+        for k in range(2)])
+    occ = OcclusionConfig(patch_size=patch, stride=stride, fill_value=-1.0,
+                          threshold=0.0)
+    mine = occ_mod.occlusion_heatmaps_multi(params, SMALL_CLIP, j_image,
+                                            latents, occ=occ)
+    for k in range(2):
+        np.testing.assert_allclose(mine[k], ref_maps[k], atol=1e-3)
