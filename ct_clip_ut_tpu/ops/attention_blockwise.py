@@ -1,0 +1,116 @@
+"""Blockwise (online-softmax) cosine attention for long sequences.
+
+Single-chip companion to the mesh-level ring attention
+(parallel/ring_attention.py): the same QK-normalized attention semantics
+(reference src/utils/attention.py:121-178 — pre-norm x, k/v from the
+PRE-norm input, l2norm(q)/l2norm(k) with learned per-dim scales, fixed
+scale 8, additive [heads, i, j] bias) computed with a `lax.scan` over key
+blocks and a numerically-stable running (max, denominator, accumulator) —
+so no [n, n] score matrix or bias slab is ever materialized. Peak score
+memory is O(n * block) instead of O(n^2): at image_size 960 the spatial
+grid is 2304 tokens, where dense fp32 scores are 21 MB per (volume-frame,
+head) and the CPB table alone is 170 MB — past both the fused kernel's
+VMEM ceiling (ops/attention.py routes to XLA dense above 4 MB of scores)
+and any reasonable HBM budget at batch.
+
+The flagship 576-token grid stays on the fused Pallas block kernel; this
+path is for beyond-flagship volumes on one chip, and is exact vs the dense
+op (tests/test_blockwise_attention.py, forward + gradients).
+
+Scope: self-attention, non-causal, no key-padding mask, no null KV, no
+dropout (asserted — never silently dropped). Attention weights are not
+available blockwise; attribution uses the dense path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AttentionConfig
+from .layers import l2norm, layernorm, linear
+
+Array = jax.Array
+
+
+def blockwise_cosine_attention(params, cfg: AttentionConfig, x: Array, *,
+                               block: int = 512,
+                               attn_bias: Optional[Array] = None,
+                               bias_fn: Optional[Callable[[Array], Array]]
+                               = None,
+                               residual: bool = False) -> Array:
+    """Self-attention block with O(n * block) score memory.
+
+    Args:
+      x: [b, n, dim]; n must be divisible by `block` (pad upstream).
+      attn_bias: optional [heads, n, n] additive bias — accepted for
+        API parity but sliced per block; at the sequence lengths this path
+        exists for, prefer `bias_fn`.
+      bias_fn: optional callback mapping a block-start index (int32 scalar)
+        to the [heads, n, block] bias COLUMN stripe for that key block —
+        lets the caller build CPB stripes on the fly
+        (ops/posbias.continuous_pos_bias_stripe is the row-stripe analogue)
+        so the full [heads, n, n] table never exists.
+      residual: return block(x) + x.
+    """
+    assert not cfg.causal and cfg.num_null_kv == 0, \
+        "blockwise path covers the CT-ViT spatial encoder shape"
+    assert cfg.dropout == 0.0, \
+        "blockwise path is deterministic: dropout is not implemented"
+    assert attn_bias is None or bias_fn is None, \
+        "pass either a dense bias or a bias_fn, not both"
+    b, n, _ = x.shape
+    h, dh = cfg.heads, cfg.dim_head
+    assert n % block == 0, (n, block)
+    n_blocks = n // block
+    f32 = jnp.float32
+
+    xn = layernorm(params["norm"], x)
+    q = linear(params["to_q"], xn)
+    kv = linear(params["to_kv"], x)    # k/v from PRE-norm x (reference)
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, t.shape[1], h, dh).transpose(0, 2, 1, 3)
+
+    q = l2norm(split_heads(q)) * params["q_scale"].astype(x.dtype)
+    k = l2norm(split_heads(k)) * params["k_scale"].astype(x.dtype)
+    v = split_heads(v)
+
+    k_blocks = k.reshape(b, h, n_blocks, block, dh).transpose(2, 0, 1, 3, 4)
+    v_blocks = v.reshape(b, h, n_blocks, block, dh).transpose(2, 0, 1, 3, 4)
+
+    def step(carry, inputs):
+        m, l, o = carry
+        j, k_blk, v_blk = inputs
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k_blk,
+                            preferred_element_type=f32) * cfg.scale
+        if attn_bias is not None:
+            blk = jax.lax.dynamic_slice(
+                attn_bias, (0, 0, j * block), (h, n, block))
+            scores = scores + blk.astype(f32)[None]
+        elif bias_fn is not None:
+            scores = scores + bias_fn(j * block).astype(f32)[None]
+
+        m_new = jnp.maximum(m, scores.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        o_new = o * alpha + jnp.einsum(
+            "bhij,bhjd->bhid", p, v_blk.astype(f32),
+            preferred_element_type=f32)
+        return (m_new, l_new, o_new), None
+
+    m0 = jnp.full((b, h, n, 1), -jnp.inf, f32)
+    l0 = jnp.zeros((b, h, n, 1), f32)
+    o0 = jnp.zeros((b, h, n, dh), f32)
+    (_, l, o), _ = jax.lax.scan(
+        step, (m0, l0, o0),
+        (jnp.arange(n_blocks, dtype=jnp.int32), k_blocks, v_blocks))
+
+    out = (o / l).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.inner_dim)
+    out = linear(params["to_out"], out)
+    return out + x if residual else out

@@ -153,6 +153,40 @@ def continuous_pos_bias_stripe(params, d1: int, d2: int, row_start,
     return t.reshape(heads, row_len * d2, d1 * d2)
 
 
+def continuous_pos_bias_col_stripe(params, d1: int, d2: int, col_start,
+                                   col_len: int,
+                                   log_dist: bool = True) -> Array:
+    """Column stripe of the 2D CPB table: [heads, d1 * d2, col_len * d2] —
+    all query tokens against the key tokens whose GRID ROWS are
+    [col_start, col_start + col_len). Equal to
+    continuous_pos_bias(params, d1, d2)[:, :, col_start*d2 :
+    (col_start+col_len)*d2] without materializing [N, N]; the key-block
+    counterpart of `continuous_pos_bias_stripe` for blockwise attention
+    (ops/attention_blockwise.py bias_fn). `col_start` may be traced."""
+    f32 = jnp.float32
+    offset_axes = [jnp.arange(-(d - 1), d, dtype=f32) for d in (d1, d2)]
+    off_grid = jnp.stack(jnp.meshgrid(*offset_axes, indexing="ij"), axis=-1)
+    table = _cpb_mlp(params, off_grid.reshape(-1, 2), log_dist)
+    heads = table.shape[-1]
+    t = table.reshape(2 * d1 - 1, 2 * d2 - 1, heads)
+
+    # axis 0 (grid rows): keys are the local subset, queries full
+    cols = col_start + jnp.arange(col_len)
+    rel0 = jnp.arange(d1)[:, None] - cols[None, :] + (d1 - 1)  # [d1, m]
+    sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
+    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(d1 m), 2d2-1, heads]
+
+    ar = jnp.arange(d2)
+    rel1 = ar[:, None] - ar[None, :] + (d2 - 1)                # [d2, d2]
+    sel1 = jax.nn.one_hot(rel1.reshape(-1), 2 * d2 - 1, dtype=f32)
+    t = jnp.tensordot(sel1, jnp.moveaxis(t, 1, 0), axes=(1, 0))
+    t = jnp.moveaxis(t, 0, 1)                    # [(d1 m), (d2 d2), heads]
+
+    t = t.reshape(d1, col_len, d2, d2, heads)    # (hq, mk, wq, wk, head)
+    t = t.transpose(4, 0, 2, 1, 3)               # [head, hq, wq, mk, wk]
+    return t.reshape(heads, d1 * d2, col_len * d2)
+
+
 def causal_mask(i: int, j: int) -> Array:
     """Boolean [i, j] mask that is True where attention is DISALLOWED
     (strictly-future keys), matching triu(j - i + 1) (reference attention.py:171)."""

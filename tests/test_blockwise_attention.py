@@ -1,0 +1,117 @@
+"""Blockwise (online-softmax) attention vs the dense op — forward, grads,
+bias_fn CPB column stripes, and the no-[n, n]-intermediate guarantee."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ct_clip_ut_tpu.config import AttentionConfig
+from ct_clip_ut_tpu.ops.attention import attention, init_attention
+from ct_clip_ut_tpu.ops.attention_blockwise import blockwise_cosine_attention
+from ct_clip_ut_tpu.ops.posbias import (continuous_pos_bias,
+                                        continuous_pos_bias_col_stripe,
+                                        init_continuous_pos_bias)
+
+CFG = AttentionConfig(dim=64, dim_head=16, heads=4, num_null_kv=0,
+                      causal=False, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_attention(jax.random.PRNGKey(0), CFG)
+    b, n = 3, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, CFG.dim))
+    bias = jax.random.normal(jax.random.PRNGKey(2), (CFG.heads, n, n)) * 0.4
+    return params, x, bias
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_blockwise_matches_dense(setup, residual):
+    params, x, bias = setup
+    want = attention(params, CFG, x, attn_bias=bias, residual=residual,
+                     return_weights=False, use_pallas=False).out
+    got = jax.jit(lambda p, xx, bb: blockwise_cosine_attention(
+        p, CFG, xx, block=16, attn_bias=bb, residual=residual))(
+            params, x, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_blockwise_gradients_match_dense(setup):
+    params, x, bias = setup
+
+    def loss_b(params, x):
+        out = blockwise_cosine_attention(params, CFG, x, block=16,
+                                         attn_bias=bias, residual=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_d(params, x):
+        out = attention(params, CFG, x, attn_bias=bias, residual=True,
+                        return_weights=False, use_pallas=False).out
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    gb = jax.jit(jax.grad(loss_b, argnums=(0, 1)))(params, x)
+    gd = jax.jit(jax.grad(loss_d, argnums=(0, 1)))(params, x)
+    fb, _ = jax.tree_util.tree_flatten(gb)
+    fd, _ = jax.tree_util.tree_flatten(gd)
+    for a, b in zip(fb, fd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_cpb_col_stripe_matches_full_table():
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(3), 32, CFG.heads)
+    d1 = d2 = 8
+    full = continuous_pos_bias(cpb, d1, d2)
+    for c0, m in ((0, 2), (3, 4), (6, 2)):
+        stripe = continuous_pos_bias_col_stripe(cpb, d1, d2, c0, m)
+        np.testing.assert_allclose(
+            np.asarray(stripe), np.asarray(full[:, :, c0 * d2:(c0 + m) * d2]),
+            atol=1e-6)
+
+
+def test_blockwise_bias_fn_cpb(setup):
+    """bias_fn streaming CPB column stripes == dense bias table — the full
+    [heads, n, n] CPB never exists on this path."""
+    params, x, _ = setup
+    d1 = d2 = 8                      # n = 64 grid tokens
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(3), 32, CFG.heads)
+    full = continuous_pos_bias(cpb, d1, d2)
+    block = 16                       # 2 grid rows per key block
+
+    def bias_fn(col0):
+        return continuous_pos_bias_col_stripe(
+            cpb, d1, d2, col0 // d2, block // d2)
+
+    want = attention(params, CFG, x, attn_bias=full, return_weights=False,
+                     use_pallas=False).out
+    got = jax.jit(lambda p, xx: blockwise_cosine_attention(
+        p, CFG, xx, block=block, bias_fn=bias_fn))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_blockwise_memory_no_dense_scores(setup):
+    """No intermediate anywhere (including the scan body) may carry an
+    [.., n, n] score matrix when bias comes through bias_fn. n != dim so
+    the check cannot be fooled by [b, n, dim] activations."""
+    from test_ring_attention import _all_eqn_shapes
+
+    params, _, _ = setup
+    d1, d2 = 20, 8
+    n = d1 * d2        # 160: != dim (64), != 2*inner_dim (128) — no aliasing
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, n, CFG.dim))
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(3), 32, CFG.heads)
+    block = 32
+
+    def bias_fn(col0):
+        return continuous_pos_bias_col_stripe(
+            cpb, d1, d2, col0 // d2, block // d2)
+
+    jaxpr = jax.make_jaxpr(lambda p, xx: blockwise_cosine_attention(
+        p, CFG, xx, block=block, bias_fn=bias_fn))(params, x)
+    shapes = _all_eqn_shapes(jaxpr.jaxpr)
+    assert any(s[-2:] == (n, block) for s in shapes if len(s) >= 2)
+    for s in shapes:
+        assert not (len(s) >= 2 and s[-1] == n and s[-2] == n), s
