@@ -115,6 +115,59 @@ def ctvit_spatial_sp(vt_params, cfg: CTViTConfig, tokens: Array,
     return layernorm(vt_params["spatial"]["norm_out"], x)
 
 
+def ctvit_spatial_blockwise(vt_params, cfg: CTViTConfig, tokens: Array,
+                            block: int) -> Array:
+    """Single-chip analogue of `ctvit_spatial_sp` for volumes whose spatial
+    grid outgrows the dense path's O(n^2) scores/bias on ONE chip: the
+    spatial stack with blockwise online-softmax attention
+    (ops/attention_blockwise.py) and CPB COLUMN stripes streamed per key
+    block — the [heads, n, n] bias table never exists. [b, t, h, w, d]
+    tokens -> post-final-LN spatial output, numerically matching the dense
+    stack."""
+    from ..ops.attention_blockwise import blockwise_cosine_attention
+    from ..ops.layers import peg_residual
+    from ..ops.posbias import continuous_pos_bias_col_stripe
+
+    tcfg = cfg.spatial_transformer()
+    assert tcfg.attn_dropout == 0.0 and tcfg.ff_dropout == 0.0, \
+        "blockwise spatial stack is deterministic: dropout not implemented"
+    b, t, h, w, d = tokens.shape
+    assert block % w == 0, (block, w)
+
+    def bias_fn(col0):
+        return continuous_pos_bias_col_stripe(
+            vt_params["spatial_rel_pos_bias"], h, w, col0 // w, block // w)
+
+    x = tokens.reshape(b * t, h * w, d)
+    for layer in vt_params["spatial"]["layers"]:
+        if tcfg.peg:
+            x = peg_residual(layer["peg"], x, (b, t, h, w),
+                             causal=tcfg.peg_causal)
+        x = blockwise_cosine_attention(layer["self_attn"], tcfg.self_attn(),
+                                       x, block=block, bias_fn=bias_fn,
+                                       residual=True)
+        x = feedforward(layer["ff"], x, residual=True)
+    x = layernorm(vt_params["spatial"]["norm_out"], x)
+    return x.reshape(b, t, h, w, d)
+
+
+def encode_image_latents_blockwise(params, cfg: CTCLIPConfig, image: Array,
+                                   block: int = 512) -> Array:
+    """Image-tower latents with the blockwise spatial stage — the
+    single-chip long-context path ([b, 1, T, H, W] -> [b, dim_latent],
+    numerically matching models/ctclip.encode_image_latents)."""
+    from ..models.ctclip import encode_image_latents_from_spatial_out
+    from ..models.ctvit import _patch_embed, patchify
+
+    tokens = _patch_embed(params["visual_transformer"]["to_patch_emb"],
+                          patchify(image, cfg.ctvit.patch_size,
+                                   cfg.ctvit.temporal_patch_size))
+    sp_out = ctvit_spatial_blockwise(params["visual_transformer"], cfg.ctvit,
+                                     tokens, block)
+    return encode_image_latents_from_spatial_out(params, cfg, sp_out,
+                                                 freeze_vq=True)
+
+
 def _encode_sp_device(params, image: Array, *, cfg: CTCLIPConfig,
                       axis_name: str) -> Array:
     """Per-device body of encode_image_latents_sp."""

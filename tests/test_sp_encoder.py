@@ -47,6 +47,19 @@ def test_cpb_stripe_matches_full_table():
             atol=1e-6)
 
 
+def test_blockwise_latents_match_dense(setup):
+    """Single-chip blockwise spatial stage (streamed CPB column stripes) ==
+    the dense encoder."""
+    from ct_clip_ut_tpu.parallel.sp_encoder import \
+        encode_image_latents_blockwise
+    _, params, image = setup
+    want, _ = encode_image_latents(params, CFG, image, freeze_vq=True)
+    got = jax.jit(lambda p, im: encode_image_latents_blockwise(
+        p, CFG, im, block=16))(params, image)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_sp_latents_match_dense(setup):
     mesh, params, image = setup
     want, _ = encode_image_latents(params, CFG, image, freeze_vq=True)
