@@ -11,6 +11,8 @@ single-process test — actually execute here:
   * infer/zeroshot.gather_predictions      (process_allgather)
   * train/trainer rank-0 gating            (save_model writes on process 0 only)
   * data/loader.ShardedSampler             (per-process disjoint shards)
+  * parallel/sp_encoder                    (ring + PEG-halo ppermutes across
+                                            a process-spanning "model" axis)
 
 This is the reference's entire deployment mode (NCCL DDP,
 reference CTClipTrainer.py:62-69, CTClipInference.py:59) recreated on the
@@ -129,6 +131,37 @@ def main() -> None:
     mine_rows = local_rows(probs)
     assert mine_rows.shape == (4, 18), mine_rows.shape
     result["zeroshot_rows"] = mine_rows.tolist()
+
+    # ---- sequence-parallel encoder with a CROSS-PROCESS "model" axis -----
+    # transpose the device grid so each ("data" row, "model" pair) couples
+    # one device from EACH process: the SP ring / PEG-halo ppermutes and the
+    # spatial all_gather become real cross-host collectives
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ct_clip_ut_tpu.models.ctclip import encode_image_latents
+    from ct_clip_ut_tpu.parallel.sp_encoder import encode_image_latents_sp
+
+    devs = np.array(jax.devices()).reshape(2, 4).T       # [4, 2]
+    sp_mesh = Mesh(devs, ("data", "model"))
+    assert {d.process_index for d in devs[0]} == {0, 1}  # spans processes
+
+    params_np = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    img1 = images_global[:1]
+    dense, _ = encode_image_latents(params_np, SMALL_CLIP, jnp.asarray(img1),
+                                    freeze_vq=True)
+    dense = np.asarray(dense)
+
+    def gput(a, spec):
+        sh = NamedSharding(sp_mesh, spec)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    params_g = jax.tree_util.tree_map(lambda a: gput(np.asarray(a), P()),
+                                      params_np)
+    img_g = gput(img1, P(None, None, None, "model", None))
+    sp = encode_image_latents_sp(params_g, SMALL_CLIP, img_g, sp_mesh)
+    sp_np = np.asarray(jax.device_get(sp))
+    np.testing.assert_allclose(sp_np, dense, atol=2e-5, rtol=2e-5)
+    result["sp_err"] = float(np.abs(sp_np - dense).max())
 
     with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as f:
         json.dump(result, f)

@@ -72,6 +72,15 @@ def test_two_process_losses_agree(worker_results):
     assert np.isfinite(r0["train_loss"])
 
 
+def test_two_process_sp_encoder_matches_dense(worker_results):
+    """The SP encoder over a process-SPANNING 'model' axis (cross-host ring
+    and PEG-halo ppermutes) reproduced the dense latents inside each worker
+    (asserted there at 2e-5); both workers saw the same error."""
+    r0, r1 = worker_results
+    assert "sp_err" in r0 and "sp_err" in r1
+    assert r0["sp_err"] < 2e-5 and r1["sp_err"] < 2e-5
+
+
 def test_two_process_matches_single_process(worker_results, tmp_path):
     """2-process global-batch loss == 1-process 8-device loss, same batch."""
     from test_trainer_driver import SMALL_CLIP, HashTokenizer
