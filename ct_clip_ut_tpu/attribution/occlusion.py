@@ -554,7 +554,7 @@ def occlusion_scores_multi_sharded(params, cfg: CTCLIPConfig, image: Array,
     window list AND one sweep scores every pathology (occlusion_scores_multi)
     — the two orthogonal speedups over the reference composed. Returns
     (original_scores [K], scores [N, K])."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_data = mesh.shape["data"]
@@ -572,7 +572,7 @@ def occlusion_scores_multi_sharded(params, cfg: CTCLIPConfig, image: Array,
     fn = shard_map(per_device, mesh=mesh,
                    in_specs=(P(), P(), P("data")),
                    out_specs=(P(), P()),
-                   check_rep=False)
+                   check_vma=False)
     originals, scores = fn(image, text_latents, coords_p)
     return originals, scores[:n]
 

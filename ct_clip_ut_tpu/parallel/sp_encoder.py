@@ -191,7 +191,7 @@ def _encode_sp_device(params, image: Array, *, cfg: CTCLIPConfig,
 def _encode_sp_jitted(cfg: CTCLIPConfig, mesh, axis_name: str):
     """Jitted shard_map encoder, cached per (cfg, mesh, axis) so repeated
     per-volume calls reuse one compiled program instead of re-tracing."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = shard_map(
@@ -199,7 +199,7 @@ def _encode_sp_jitted(cfg: CTCLIPConfig, mesh, axis_name: str):
         mesh=mesh,
         in_specs=(P(), P(None, None, None, axis_name, None)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 

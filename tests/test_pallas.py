@@ -204,7 +204,7 @@ def test_pallas_block_kernel_under_tensor_parallel_shard_map():
     kernel per shard (interpret mode on the virtual mesh), psum the
     row-sharded output projection, and require equality with the unsharded
     XLA reference."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from ct_clip_ut_tpu.ops.pallas_attn_block import (_xla_reference_block,
@@ -239,7 +239,7 @@ def test_pallas_block_kernel_under_tensor_parallel_shard_map():
             in_specs=(P(), P(), P(None, "model"), P(None, "model"),
                       P(None, "model"), P("model", None), P(), P(),
                       P("model", None, None)),
-            out_specs=P(), check_rep=False,
+            out_specs=P(), check_vma=False,
         )(x, gamma, wq, wk, wv, wo, qs, ksc, bias)
 
     got = tp_apply(x, gamma, wq, wk, wv, wo, qs, ksc, bias)
@@ -250,7 +250,7 @@ def test_pallas_block_kernel_under_tensor_parallel_shard_map():
 def test_pallas_geglu_ff_under_tensor_parallel_shard_map():
     """Same interplay check for the fused GEGLU FF kernel: hidden dim
     column-sharded in (value/gate), row-sharded out, psum."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from ct_clip_ut_tpu.ops.pallas_ff import _xla_reference, geglu_ff_fused
@@ -280,7 +280,7 @@ def test_pallas_geglu_ff_under_tensor_parallel_shard_map():
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(None, "model"), P(None, "model"),
                       P("model", None)),
-            out_specs=P(), check_rep=False,
+            out_specs=P(), check_vma=False,
         )(x, gamma, beta, wv, wg, w2)
 
     got = tp_apply(x, gamma, beta, wv, wg, w2)

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ct_clip_ut_tpu.config import AttentionConfig
@@ -40,9 +40,9 @@ def _ring_fn(mesh, with_bias, residual):
         f_nb = lambda params, x: ring_cosine_attention(
             params, CFG, x, "model", attn_bias=None, residual=residual)
         return shard_map(f_nb, mesh=mesh, in_specs=in_specs[:2],
-                         out_specs=P("data", "model", None), check_rep=False)
+                         out_specs=P("data", "model", None), check_vma=False)
     return shard_map(f, mesh=mesh, in_specs=in_specs,
-                     out_specs=P("data", "model", None), check_rep=False)
+                     out_specs=P("data", "model", None), check_vma=False)
 
 
 @pytest.mark.parametrize("with_bias", [False, True])
