@@ -52,6 +52,7 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
                   video_mask: Optional[Array] = None,
                   return_embeds: bool = False,
                   weights: str = "all",
+                  self_attn_block: Optional[int] = None,
                   rng=None, deterministic: bool = True) -> MaskGitOutput:
     """Args mirror reference maskgit.py:40-56: flattened ids [b, n], T5
     context [b, text_len, dim_context], and the (t, h, w) token grid shape.
@@ -71,8 +72,27 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     a = cfg.gradient_shrink_alpha
     x = x * a + jax.lax.stop_gradient(x) * (1.0 - a)
 
-    attn_bias = continuous_pos_bias(
-        params["continuous_pos_bias"], *video_patch_shape)  # [heads, n, n]
+    # blockwise self-attention (long-context mode): stream the 3D CPB per
+    # key block instead of materializing the [heads, n, n] table (~1.3 GB
+    # fp32 at the 101x8x8 flagship grid). Weights-free paths only; requires
+    # no video mask and a block that tiles whole first-axis rows.
+    bias_fn = None
+    attn_bias = None
+    if self_attn_block is not None:
+        from ..ops.posbias import continuous_pos_bias_col_stripe3
+        d1, d2, d3 = video_patch_shape
+        assert video_mask is None, "blockwise MaskGit has no video mask"
+        assert weights in ("last_cross", "none"), \
+            "self-attention weights are not observable blockwise"
+        assert self_attn_block % (d2 * d3) == 0, (self_attn_block, d2, d3)
+
+        def bias_fn(col0):
+            return continuous_pos_bias_col_stripe3(
+                params["continuous_pos_bias"], d1, d2, d3,
+                col0 // (d2 * d3), self_attn_block // (d2 * d3))
+    else:
+        attn_bias = continuous_pos_bias(
+            params["continuous_pos_bias"], *video_patch_shape)  # [h, n, n]
 
     if weights in ("last_cross", "none"):
         from ..ops.taps import Taps
@@ -84,7 +104,8 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
             attn_bias=attn_bias, context=context,
             self_attn_mask=video_mask, cross_attn_context_mask=text_mask,
             return_weights=False, taps=taps, rng=rng,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            self_attn_block=self_attn_block, self_attn_bias_fn=bias_fn)
         cross = (() if weights == "none" else
                  (taps.collected[f"{cfg.depth - 1}.cross_attn_weights"],))
         self_attn = ()

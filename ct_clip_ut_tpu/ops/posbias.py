@@ -187,6 +187,42 @@ def continuous_pos_bias_col_stripe(params, d1: int, d2: int, col_start,
     return t.reshape(heads, d1 * d2, col_len * d2)
 
 
+def continuous_pos_bias_col_stripe3(params, d1: int, d2: int, d3: int,
+                                    col_start, col_len: int,
+                                    log_dist: bool = True) -> Array:
+    """3D analogue of `continuous_pos_bias_col_stripe` for the MaskGit token
+    grid (reference maskgit.py:23,67: CPB over (t', h', w') = e.g.
+    (101, 8, 8) = 6,464 tokens, where the dense [heads, N, N] table is
+    ~1.3 GB fp32): [heads, d1*d2*d3, col_len*d2*d3] — all queries against
+    the keys whose FIRST-AXIS rows are [col_start, col_start + col_len).
+    `col_start` may be traced (blockwise attention's bias_fn)."""
+    f32 = jnp.float32
+    dims = (d1, d2, d3)
+    offset_axes = [jnp.arange(-(d - 1), d, dtype=f32) for d in dims]
+    off_grid = jnp.stack(jnp.meshgrid(*offset_axes, indexing="ij"), axis=-1)
+    table = _cpb_mlp(params, off_grid.reshape(-1, 3), log_dist)
+    heads = table.shape[-1]
+    t = table.reshape(2 * d1 - 1, 2 * d2 - 1, 2 * d3 - 1, heads)
+
+    # axis 0: keys restricted to the column rows, queries full
+    cols = col_start + jnp.arange(col_len)
+    rel0 = jnp.arange(d1)[:, None] - cols[None, :] + (d1 - 1)  # [d1, m]
+    sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
+    t = jnp.tensordot(sel0, t, axes=(1, 0))  # [(d1 m), 2d2-1, 2d3-1, heads]
+
+    for ax, d in ((1, d2), (2, d3)):         # full pair grids
+        ar = jnp.arange(d)
+        rel = ar[:, None] - ar[None, :] + (d - 1)
+        sel = jax.nn.one_hot(rel.reshape(-1), 2 * d - 1, dtype=f32)
+        t = jnp.moveaxis(
+            jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=(1, 0)), 0, ax)
+
+    # t: [(d1 m), (d2 d2), (d3 d3), heads] with pair order (q, k) per axis
+    t = t.reshape(d1, col_len, d2, d2, d3, d3, heads)
+    t = t.transpose(6, 0, 2, 4, 1, 3, 5)     # [h, q1, q2, q3, mk, k2, k3]
+    return t.reshape(heads, d1 * d2 * d3, col_len * d2 * d3)
+
+
 def causal_mask(i: int, j: int) -> Array:
     """Boolean [i, j] mask that is True where attention is DISALLOWED
     (strictly-future keys), matching triu(j - i + 1) (reference attention.py:171)."""

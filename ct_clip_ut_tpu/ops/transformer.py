@@ -58,27 +58,58 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
                 taps: Taps = NULL_TAPS,
                 scope: str = "",
                 rng: Optional[Array] = None,
-                deterministic: bool = True):
+                deterministic: bool = True,
+                self_attn_block: Optional[int] = None,
+                self_attn_bias_fn=None):
     """Returns (out, TransformerAux). Tap points per layer i:
     {scope}{i}.attn_out, {scope}{i}.cross_attn_out, {scope}{i}.ff_out
     (block outputs pre-residual, matching the reference hook placement,
-    visualizations.py:153-218)."""
+    visualizations.py:153-218).
+
+    self_attn_block / self_attn_bias_fn: route self-attention through the
+    blockwise online-softmax path (ops/attention_blockwise.py) with the
+    additive bias streamed per key block — for long token grids (MaskGit's
+    6,464 tokens) where the dense [heads, n, n] scores/bias are the memory
+    wall. Self-attention weights are not observable on this path, so it
+    requires return_weights=False, no self-attention taps, and no mask
+    (asserted — never a silent semantics change). Cross-attention (short
+    context) stays dense."""
     self_weights = []
     cross_weights = []
+
+    if self_attn_block is not None:
+        assert self_attn_mask is None, \
+            "blockwise self-attention does not support a key-padding mask"
+        assert not return_weights, \
+            "self-attention weights are not observable blockwise"
 
     # per-layer remat for training (no weight/tap outputs to preserve)
     use_remat = (cfg.remat and not return_weights and taps is NULL_TAPS
                  and taps.capture_all is False)
+
+    def self_attend(layer, x, r_attn, want_w, residual):
+        if self_attn_block is not None:
+            if want_w:
+                raise ValueError(
+                    "self-attention weights requested (taps) on the "
+                    "blockwise path — they are not observable there")
+            from .attention_blockwise import blockwise_cosine_attention
+            out = blockwise_cosine_attention(
+                layer["self_attn"], cfg.self_attn(), x,
+                block=self_attn_block, attn_bias=attn_bias,
+                bias_fn=self_attn_bias_fn, residual=residual)
+            return out, None
+        return attention(
+            layer["self_attn"], cfg.self_attn(), x,
+            attn_bias=attn_bias, mask=self_attn_mask, return_weights=want_w,
+            rng=r_attn, deterministic=deterministic, residual=residual)
 
     def plain_layer(layer, x, r_attn, r_cross, r_ff):
         # residual=True folds the +x into each fused kernel's output write
         # (a separate XLA add is an extra full-HBM pass per block)
         if cfg.peg:
             x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal)
-        x, _ = attention(
-            layer["self_attn"], cfg.self_attn(), x,
-            attn_bias=attn_bias, mask=self_attn_mask, return_weights=False,
-            rng=r_attn, deterministic=deterministic, residual=True)
+        x, _ = self_attend(layer, x, r_attn, False, True)
         if cfg.has_cross_attn and context is not None:
             x, _ = attention(
                 layer["cross_attn"], cfg.cross_attn(), x, context=context,
@@ -114,12 +145,8 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
         # observes it
         tapped = (f"{scope}{i}.attn_out" in taps.inject
                   or taps.wants(f"{scope}{i}.attn_out"))
-        attn_out, w = attention(
-            layer["self_attn"], cfg.self_attn(), x,
-            attn_bias=attn_bias, mask=self_attn_mask,
-            return_weights=want_w,
-            rng=r_attn, deterministic=deterministic,
-            residual=not tapped)
+        attn_out, w = self_attend(layer, x, r_attn, want_w,
+                                  not tapped)
         if w is not None:
             w = taps.tap(f"{scope}{i}.attn_weights", w)
         if return_weights:

@@ -79,6 +79,29 @@ def test_maskgit_forward():
     assert emb.output.shape == (1, 32, 16)
 
 
+def test_maskgit_blockwise_matches_dense():
+    """Blockwise self-attention with streamed 3D CPB column stripes == the
+    dense path — the long-context mode that never materializes the
+    [heads, n, n] bias (~1.3 GB fp32 at the 101x8x8 flagship grid)."""
+    import numpy as np
+    params = mg.init_maskgit(KEY, SMALL_MG)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 2 * 4 * 4), 0, 32)
+    context = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 32))
+    text_mask = jnp.ones((1, 7), bool)
+
+    dense = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4),
+                             text_mask=text_mask, weights="last_cross")
+    block = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4),
+                             text_mask=text_mask, weights="last_cross",
+                             self_attn_block=16)   # one (4,4) row per block
+    np.testing.assert_allclose(np.asarray(block.output),
+                               np.asarray(dense.output),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(block.cross_attn[-1]),
+                               np.asarray(dense.cross_attn[-1]),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_maskgit_generate():
     """Iterative decode: all-masked start, cosine-schedule unmasking, final
     ids all inside the codebook, deterministic under a fixed key."""
