@@ -135,6 +135,46 @@ def test_ig_matches_serial_loop(setup):
     np.testing.assert_allclose(np.asarray(got), ig, atol=1e-3)
 
 
+def test_ig_pack_roundtrip_and_overflow_fallback():
+    """_ig_pack + _ig_densify_np reproduce the dense map exactly (f16
+    value rounding aside); when the survivor count exceeds the sized
+    buffer, the dense fallback path returns the exact map."""
+    import numpy as np
+
+    from ct_clip_ut_tpu.attribution.integrated_gradients import (
+        _ig_densify_np, _ig_pack)
+
+    t, h, w, pd = 2, 4, 4, 8 * 8 * 8
+    rng = np.random.RandomState(0)
+    ig = rng.rand(t, h, w, pd).astype(np.float32)
+    ig[ig < 0.9] = 0.0                      # ~10% survivors
+    ig_j = jnp.asarray(ig)
+    n = ig.size
+    shape = (1, 1, t * 8, h * 8, w * 8)
+
+    class TinyVit:
+        patch_size, temporal_patch_size = 8, 8
+
+    class TinyCfg:
+        ctvit = TinyVit()
+
+    k = int(n * 0.15)
+    packed, vals, m = _ig_pack(ig_j, k)
+    assert int(m) <= k
+    got = _ig_densify_np(TinyCfg, shape, packed, vals, m, ig_j)
+    from ct_clip_ut_tpu.models.ctvit import unpatchify_np
+    want = unpatchify_np(ig.astype(np.float16).astype(np.float32), 8, 8)
+    np.testing.assert_array_equal(got, want)
+
+    # overflow: k smaller than the survivor count -> dense fallback
+    k_small = int(m) - 3
+    packed2, vals2, m2 = _ig_pack(ig_j, k_small)
+    assert int(m2) > k_small
+    got2 = _ig_densify_np(TinyCfg, shape, packed2, vals2, m2, ig_j)
+    want2 = unpatchify_np(ig, 8, 8)
+    np.testing.assert_array_equal(got2, want2)
+
+
 def test_ig_pipelined_matches_serial_calls(setup):
     """The pipelined multi-map driver yields exactly the per-call maps, in
     order (the overlap only reorders host fetches, never math)."""
