@@ -230,6 +230,16 @@ def _pe_bwd(patch, t_patch, interpret, res, g):
     so XLA dead-code-eliminates that subgraph; volume-gradient callers get
     the exact twin value."""
     image, kw, s1, b1, g2, b2, conv, mean2, var2 = res
+
+    # escape hatch: CTCLIP_PE_BWD_TWIN=1 restores the round-2 backward (full
+    # XLA-twin recompute VJP) — for isolating compiler regressions on the
+    # residual-based path without a code change
+    import os
+    if os.environ.get("CTCLIP_PE_BWD_TWIN") == "1":
+        _, vjp = jax.vjp(lambda *a: _xla_twin(*a, patch, t_patch),
+                         image, kw, s1, b1, g2, b2)
+        return vjp(g)
+
     eps = 1e-5
     f32 = jnp.float32
     b, t, hp, wp, dim = conv.shape
