@@ -79,17 +79,22 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     bias_fn = None
     attn_bias = None
     if self_attn_block is not None:
-        from ..ops.posbias import continuous_pos_bias_col_stripe3
+        from ..ops.posbias import (continuous_pos_bias_col_stripe3,
+                                   cpb_offset_table)
         d1, d2, d3 = video_patch_shape
         assert video_mask is None, "blockwise MaskGit has no video mask"
         assert weights in ("last_cross", "none"), \
             "self-attention weights are not observable blockwise"
         assert self_attn_block % (d2 * d3) == 0, (self_attn_block, d2, d3)
+        # MLP over the distinct offsets once per forward; each key block
+        # only pays the one-hot selection inside the scan
+        cpb_table = cpb_offset_table(params["continuous_pos_bias"],
+                                     (d1, d2, d3))
 
         def bias_fn(col0):
             return continuous_pos_bias_col_stripe3(
-                params["continuous_pos_bias"], d1, d2, d3,
-                col0 // (d2 * d3), self_attn_block // (d2 * d3))
+                None, d1, d2, d3, col0 // (d2 * d3),
+                self_attn_block // (d2 * d3), table=cpb_table)
     else:
         attn_bias = continuous_pos_bias(
             params["continuous_pos_bias"], *video_patch_shape)  # [h, n, n]

@@ -36,10 +36,11 @@ Array = jax.Array
 
 
 def blockwise_cosine_attention(params, cfg: AttentionConfig, x: Array, *,
-                               block: int = 512,
+                               block: Optional[int] = None,
                                attn_bias: Optional[Array] = None,
                                bias_fn: Optional[Callable[[Array], Array]]
                                = None,
+                               deterministic: bool = True,
                                residual: bool = False) -> Array:
     """Self-attention block with O(n * block) score memory.
 
@@ -57,12 +58,17 @@ def blockwise_cosine_attention(params, cfg: AttentionConfig, x: Array, *,
     """
     assert not cfg.causal and cfg.num_null_kv == 0, \
         "blockwise path covers the CT-ViT spatial encoder shape"
-    assert cfg.dropout == 0.0, \
-        "blockwise path is deterministic: dropout is not implemented"
+    # dropout is a no-op at inference (deterministic=True, the dense path's
+    # behavior); only refuse when it would actually have applied
+    assert cfg.dropout == 0.0 or deterministic, \
+        "blockwise path does not implement dropout (training mode)"
     assert attn_bias is None or bias_fn is None, \
         "pass either a dense bias or a bias_fn, not both"
     b, n, _ = x.shape
     h, dh = cfg.heads, cfg.dim_head
+    if block is None:
+        # largest divisor of n <= 512: usable default for any length
+        block = max(d for d in range(1, min(n, 512) + 1) if n % d == 0)
     assert n % block == 0, (n, block)
     n_blocks = n // block
     f32 = jnp.float32

@@ -233,7 +233,9 @@ def _pe_bwd(patch, t_patch, interpret, res, g):
 
     # escape hatch: CTCLIP_PE_BWD_TWIN=1 restores the round-2 backward (full
     # XLA-twin recompute VJP) — for isolating compiler regressions on the
-    # residual-based path without a code change
+    # residual-based path without a code change. Read at TRACE time: set it
+    # before the process's first backward trace; flipping it later hits the
+    # jit cache and has no effect.
     import os
     if os.environ.get("CTCLIP_PE_BWD_TWIN") == "1":
         _, vjp = jax.vjp(lambda *a: _xla_twin(*a, patch, t_patch),

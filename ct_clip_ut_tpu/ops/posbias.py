@@ -8,7 +8,7 @@ buffers needed, unlike the reference's register_buffer dance).
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -153,74 +153,92 @@ def continuous_pos_bias_stripe(params, d1: int, d2: int, row_start,
     return t.reshape(heads, row_len * d2, d1 * d2)
 
 
-def continuous_pos_bias_col_stripe(params, d1: int, d2: int, col_start,
-                                   col_len: int,
-                                   log_dist: bool = True) -> Array:
-    """Column stripe of the 2D CPB table: [heads, d1 * d2, col_len * d2] —
-    all query tokens against the key tokens whose GRID ROWS are
-    [col_start, col_start + col_len). Equal to
-    continuous_pos_bias(params, d1, d2)[:, :, col_start*d2 :
-    (col_start+col_len)*d2] without materializing [N, N]; the key-block
-    counterpart of `continuous_pos_bias_stripe` for blockwise attention
-    (ops/attention_blockwise.py bias_fn). `col_start` may be traced."""
+def cpb_offset_table(params, dims, log_dist: bool = True) -> Array:
+    """The CPB MLP evaluated over every distinct relative offset —
+    [2*d1-1, ..., 2*dc-1, heads]. Loop-invariant for the stripe builders:
+    evaluate ONCE per forward and pass via their `table=` kwarg when the
+    stripe is built inside a scan body (blockwise attention's bias_fn) —
+    otherwise the MLP re-runs every key block."""
     f32 = jnp.float32
-    offset_axes = [jnp.arange(-(d - 1), d, dtype=f32) for d in (d1, d2)]
-    off_grid = jnp.stack(jnp.meshgrid(*offset_axes, indexing="ij"), axis=-1)
-    table = _cpb_mlp(params, off_grid.reshape(-1, 2), log_dist)
-    heads = table.shape[-1]
-    t = table.reshape(2 * d1 - 1, 2 * d2 - 1, heads)
-
-    # axis 0 (grid rows): keys are the local subset, queries full
-    cols = col_start + jnp.arange(col_len)
-    rel0 = jnp.arange(d1)[:, None] - cols[None, :] + (d1 - 1)  # [d1, m]
-    sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
-    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(d1 m), 2d2-1, heads]
-
-    ar = jnp.arange(d2)
-    rel1 = ar[:, None] - ar[None, :] + (d2 - 1)                # [d2, d2]
-    sel1 = jax.nn.one_hot(rel1.reshape(-1), 2 * d2 - 1, dtype=f32)
-    t = jnp.tensordot(sel1, jnp.moveaxis(t, 1, 0), axes=(1, 0))
-    t = jnp.moveaxis(t, 0, 1)                    # [(d1 m), (d2 d2), heads]
-
-    t = t.reshape(d1, col_len, d2, d2, heads)    # (hq, mk, wq, wk, head)
-    t = t.transpose(4, 0, 2, 1, 3)               # [head, hq, wq, mk, wk]
-    return t.reshape(heads, d1 * d2, col_len * d2)
-
-
-def continuous_pos_bias_col_stripe3(params, d1: int, d2: int, d3: int,
-                                    col_start, col_len: int,
-                                    log_dist: bool = True) -> Array:
-    """3D analogue of `continuous_pos_bias_col_stripe` for the MaskGit token
-    grid (reference maskgit.py:23,67: CPB over (t', h', w') = e.g.
-    (101, 8, 8) = 6,464 tokens, where the dense [heads, N, N] table is
-    ~1.3 GB fp32): [heads, d1*d2*d3, col_len*d2*d3] — all queries against
-    the keys whose FIRST-AXIS rows are [col_start, col_start + col_len).
-    `col_start` may be traced (blockwise attention's bias_fn)."""
-    f32 = jnp.float32
-    dims = (d1, d2, d3)
+    dims = tuple(int(d) for d in dims)
     offset_axes = [jnp.arange(-(d - 1), d, dtype=f32) for d in dims]
     off_grid = jnp.stack(jnp.meshgrid(*offset_axes, indexing="ij"), axis=-1)
-    table = _cpb_mlp(params, off_grid.reshape(-1, 3), log_dist)
+    table = _cpb_mlp(params, off_grid.reshape(-1, len(dims)), log_dist)
+    return table.reshape(tuple(2 * d - 1 for d in dims) + (-1,))
+
+
+def _cpb_col_stripe_nd(params, dims, col_start, col_len: int,
+                       log_dist: bool, table: Optional[Array]) -> Array:
+    """Shared N-D column-stripe builder: all queries against the keys whose
+    FIRST-AXIS rows are [col_start, col_start + col_len). Returns
+    [heads, prod(dims), col_len * prod(dims[1:])]."""
+    f32 = jnp.float32
+    if table is None:
+        table = cpb_offset_table(params, dims, log_dist)
     heads = table.shape[-1]
-    t = table.reshape(2 * d1 - 1, 2 * d2 - 1, 2 * d3 - 1, heads)
+    t = table
+    d1, rest = dims[0], dims[1:]
 
     # axis 0: keys restricted to the column rows, queries full
     cols = col_start + jnp.arange(col_len)
     rel0 = jnp.arange(d1)[:, None] - cols[None, :] + (d1 - 1)  # [d1, m]
     sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
-    t = jnp.tensordot(sel0, t, axes=(1, 0))  # [(d1 m), 2d2-1, 2d3-1, heads]
+    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(d1 m), ..., heads]
 
-    for ax, d in ((1, d2), (2, d3)):         # full pair grids
+    for ax, d in enumerate(rest, start=1):       # full pair grids
         ar = jnp.arange(d)
         rel = ar[:, None] - ar[None, :] + (d - 1)
         sel = jax.nn.one_hot(rel.reshape(-1), 2 * d - 1, dtype=f32)
         t = jnp.moveaxis(
             jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=(1, 0)), 0, ax)
 
-    # t: [(d1 m), (d2 d2), (d3 d3), heads] with pair order (q, k) per axis
-    t = t.reshape(d1, col_len, d2, d2, d3, d3, heads)
-    t = t.transpose(6, 0, 2, 4, 1, 3, 5)     # [h, q1, q2, q3, mk, k2, k3]
-    return t.reshape(heads, d1 * d2 * d3, col_len * d2 * d3)
+    # t: [(d1 m), (d2 d2), ..., heads] with (q, k) pair order per axis
+    c = len(dims)
+    pair_shape = [d1, col_len]
+    for d in rest:
+        pair_shape += [d, d]
+    t = t.reshape(pair_shape + [heads])
+    # -> [heads, q1, q2.., qc, mk, k2.., kc]
+    perm = ([2 * c] + [0] + [2 * k for k in range(1, c)]
+            + [1] + [2 * k + 1 for k in range(1, c)])
+    t = t.transpose(perm)
+    n = 1
+    for d in dims:
+        n *= d
+    blk = col_len
+    for d in rest:
+        blk *= d
+    return t.reshape(heads, n, blk)
+
+
+def continuous_pos_bias_col_stripe(params, d1: int, d2: int, col_start,
+                                   col_len: int, log_dist: bool = True,
+                                   table: Optional[Array] = None) -> Array:
+    """Column stripe of the 2D CPB table: [heads, d1 * d2, col_len * d2] —
+    all query tokens against the key tokens whose GRID ROWS are
+    [col_start, col_start + col_len). Equal to
+    continuous_pos_bias(params, d1, d2)[:, :, col_start*d2 :
+    (col_start+col_len)*d2] without materializing [N, N]; the key-block
+    counterpart of `continuous_pos_bias_stripe` for blockwise attention
+    (ops/attention_blockwise.py bias_fn). `col_start` may be traced; pass
+    `table=cpb_offset_table(...)` when calling inside a scan body."""
+    return _cpb_col_stripe_nd(params, (d1, d2), col_start, col_len,
+                              log_dist, table)
+
+
+def continuous_pos_bias_col_stripe3(params, d1: int, d2: int, d3: int,
+                                    col_start, col_len: int,
+                                    log_dist: bool = True,
+                                    table: Optional[Array] = None) -> Array:
+    """3D analogue of `continuous_pos_bias_col_stripe` for the MaskGit token
+    grid (reference maskgit.py:23,67: CPB over (t', h', w') = e.g.
+    (101, 8, 8) = 6,464 tokens, where the dense [heads, N, N] table is
+    ~1.3 GB fp32): [heads, d1*d2*d3, col_len*d2*d3] — all queries against
+    the keys whose FIRST-AXIS rows are [col_start, col_start + col_len).
+    `col_start` may be traced; pass `table=cpb_offset_table(...)` when
+    calling inside a scan body (blockwise attention's bias_fn)."""
+    return _cpb_col_stripe_nd(params, (d1, d2, d3), col_start, col_len,
+                              log_dist, table)
 
 
 def causal_mask(i: int, j: int) -> Array:

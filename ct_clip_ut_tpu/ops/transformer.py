@@ -82,6 +82,10 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
             "blockwise self-attention does not support a key-padding mask"
         assert not return_weights, \
             "self-attention weights are not observable blockwise"
+    else:
+        assert self_attn_bias_fn is None, \
+            "self_attn_bias_fn without self_attn_block would silently drop " \
+            "the positional bias (the dense path only reads attn_bias)"
 
     # per-layer remat for training (no weight/tap outputs to preserve)
     use_remat = (cfg.remat and not return_weights and taps is NULL_TAPS
@@ -97,7 +101,8 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
             out = blockwise_cosine_attention(
                 layer["self_attn"], cfg.self_attn(), x,
                 block=self_attn_block, attn_bias=attn_bias,
-                bias_fn=self_attn_bias_fn, residual=residual)
+                bias_fn=self_attn_bias_fn, deterministic=deterministic,
+                residual=residual)
             return out, None
         return attention(
             layer["self_attn"], cfg.self_attn(), x,

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -115,8 +116,21 @@ def ctvit_spatial_sp(vt_params, cfg: CTViTConfig, tokens: Array,
     return layernorm(vt_params["spatial"]["norm_out"], x)
 
 
+def _auto_block(h: int, w: int, cap: int = 512) -> int:
+    """Largest whole-grid-row key block <= cap: `rows * w` where `rows` is
+    the largest divisor of h with rows * w <= cap (falls back to one row).
+    Keeps the default usable for ANY grid — a fixed 512 satisfies the
+    divisibility constraints for almost no CT grid (flagship w=24,
+    image_size-960 w=48)."""
+    rows = 1
+    for r in range(1, h + 1):
+        if h % r == 0 and r * w <= cap:
+            rows = r
+    return rows * w
+
+
 def ctvit_spatial_blockwise(vt_params, cfg: CTViTConfig, tokens: Array,
-                            block: int) -> Array:
+                            block: Optional[int] = None) -> Array:
     """Single-chip analogue of `ctvit_spatial_sp` for volumes whose spatial
     grid outgrows the dense path's O(n^2) scores/bias on ONE chip: the
     spatial stack with blockwise online-softmax attention
@@ -126,17 +140,22 @@ def ctvit_spatial_blockwise(vt_params, cfg: CTViTConfig, tokens: Array,
     stack."""
     from ..ops.attention_blockwise import blockwise_cosine_attention
     from ..ops.layers import peg_residual
-    from ..ops.posbias import continuous_pos_bias_col_stripe
+    from ..ops.posbias import (continuous_pos_bias_col_stripe,
+                               cpb_offset_table)
 
     tcfg = cfg.spatial_transformer()
     assert tcfg.attn_dropout == 0.0 and tcfg.ff_dropout == 0.0, \
         "blockwise spatial stack is deterministic: dropout not implemented"
     b, t, h, w, d = tokens.shape
-    assert block % w == 0, (block, w)
+    if block is None:
+        block = _auto_block(h, w)
+    assert block % w == 0 and (h * w) % block == 0, (block, h, w)
+    # MLP over the distinct offsets once; key blocks pay only the selection
+    cpb_table = cpb_offset_table(vt_params["spatial_rel_pos_bias"], (h, w))
 
     def bias_fn(col0):
         return continuous_pos_bias_col_stripe(
-            vt_params["spatial_rel_pos_bias"], h, w, col0 // w, block // w)
+            None, h, w, col0 // w, block // w, table=cpb_table)
 
     x = tokens.reshape(b * t, h * w, d)
     for layer in vt_params["spatial"]["layers"]:
@@ -152,7 +171,7 @@ def ctvit_spatial_blockwise(vt_params, cfg: CTViTConfig, tokens: Array,
 
 
 def encode_image_latents_blockwise(params, cfg: CTCLIPConfig, image: Array,
-                                   block: int = 512) -> Array:
+                                   block: Optional[int] = None) -> Array:
     """Image-tower latents with the blockwise spatial stage — the
     single-chip long-context path ([b, 1, T, H, W] -> [b, dim_latent],
     numerically matching models/ctclip.encode_image_latents)."""

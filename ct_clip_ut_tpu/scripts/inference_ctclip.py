@@ -47,7 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.occlusion_text_embeds:
+        # fail in milliseconds, not after the checkpoint load + zero-shot pass
+        if "occlusion" not in args.visualize:
+            parser.error("--occlusion-text-embeds requires "
+                         "--visualize occlusion")
+        if not args.diff_embeds:
+            parser.error("--occlusion-text-embeds requires --diff-embeds")
 
     import jax
     from transformers import BertTokenizer

@@ -71,6 +71,29 @@ def test_cpb_col_stripe_matches_full_table():
             atol=1e-6)
 
 
+def test_cpb_col_stripe3_matches_full_table():
+    """3D column stripes — including MULTI-ROW blocks (col_len > 1), where
+    a (d1, col_len) axis-order bug in the final reshape would hide at
+    col_len == 1 — equal the dense 3D table slices; also via a precomputed
+    offset table (the scan-hoisted form)."""
+    from ct_clip_ut_tpu.ops.posbias import (continuous_pos_bias_col_stripe3,
+                                            cpb_offset_table)
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(4), 32, CFG.heads,
+                                   num_dims=3)
+    d1, d2, d3 = 4, 2, 3
+    full = continuous_pos_bias(cpb, d1, d2, d3)
+    table = cpb_offset_table(cpb, (d1, d2, d3))
+    for c0, m in ((0, 2), (1, 3), (3, 1)):
+        want = full[:, :, c0 * d2 * d3:(c0 + m) * d2 * d3]
+        got = continuous_pos_bias_col_stripe3(cpb, d1, d2, d3, c0, m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+        got_t = continuous_pos_bias_col_stripe3(None, d1, d2, d3, c0, m,
+                                                table=table)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want),
+                                   atol=1e-6)
+
+
 def test_blockwise_bias_fn_cpb(setup):
     """bias_fn streaming CPB column stripes == dense bias table — the full
     [heads, n, n] CPB never exists on this path."""
