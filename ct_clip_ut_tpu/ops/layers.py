@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -238,17 +239,51 @@ def _peg_conv_residual_impl(v, w, b, causal):
     return out.astype(v.dtype)
 
 
+def _peg_weight_grads_taps(v, g, causal: bool):
+    """Grouped-conv weight grad as 27 shifted multiply-reduces over the
+    padded input — only slice/multiply/reduce primitives, which the GSPMD
+    partitioner handles correctly.
+
+    This exists because XLA autodiff's weight grad for a
+    feature_group_count>1 conv is WRONG under GSPMD on a multi-axis mesh
+    (jax 0.9.0): the replicated kernel's gradient comes back multiplied by
+    the size of every mesh axis the conv is not partitioned over (measured:
+    exactly 2x on a ("data","model")=(4,2) mesh, 4x on (2,4), 1x on a flat
+    8-device mesh; dense fgc=1 convs unaffected). Repro: grad of
+    sum(conv(v, w, feature_group_count=C)**2) with v sharded P("data") and
+    w replicated. The reference never hits this (torch DDP has no
+    partitioner); our TP mesh does, so the PEG backward must not leave a
+    grouped conv in the autodiff graph."""
+    b, t, h, w, c = v.shape
+    frame_pad = (2, 0) if causal else (1, 1)
+    vp = jnp.pad(v.astype(jnp.float32),
+                 ((0, 0), frame_pad, (1, 1), (1, 1), (0, 0)))
+    gf = g.astype(jnp.float32)
+    taps = []
+    for dt in range(3):
+        for dh in range(3):
+            for dx in range(3):
+                sl = jax.lax.slice(
+                    vp, (0, dt, dh, dx, 0), (b, dt + t, dh + h, dx + w, c))
+                taps.append((sl * gf).sum(axis=(0, 1, 2, 3)))
+    dw = jnp.stack(taps).reshape(3, 3, 3, 1, c)
+    db = gf.sum(axis=(0, 1, 2, 3))
+    return dw, db
+
+
 @functools.lru_cache(maxsize=None)
 def _peg_conv_residual(causal: bool):
-    """custom-VJP peg+residual with the Pallas tap-accumulator weight grad
-    (ops/pallas_peg_bwd.py) and an explicit flipped-tap depthwise conv for
-    the input grad. MEASURED NEGATIVE RESULT — kept opt-in, NOT the default:
-    at flagship B=8 ([8,24,24,24,512]) this backward is 4.96 ms/layer vs
-    3.70 ms for plain XLA autodiff of the same composition (bf16, v5e).
-    The weight grad is VPU-compute-bound (27 taps x N x C elementwise
-    multiplies are intrinsic), so the single-HBM-pass argument that paid
-    off for the attention/FF kernels does not apply, and XLA's depthwise
-    backward lowering is already near that VPU floor."""
+    """custom-VJP peg+residual: explicit flipped-tap depthwise conv for the
+    input grad (a plain forward grouped conv — safe under GSPMD), and a
+    weight grad with NO grouped conv in the graph — the Pallas
+    tap-accumulator (ops/pallas_peg_bwd.py) on TPU, `_peg_weight_grads_taps`
+    elsewhere. This is the DEFAULT backward: XLA autodiff of the grouped
+    conv mis-scales the weight grad on multi-axis meshes (see
+    `_peg_weight_grads_taps`). Cost on a single chip: the Pallas weight grad
+    measures 4.96 ms/layer vs 3.70 ms for XLA autodiff at flagship B=8
+    ([8,24,24,24,512] bf16, v5e) — ~1.3 ms/layer paid for mesh-safe
+    gradients (set CTCLIP_PEG_BWD=autodiff to claw it back on runs that
+    will NEVER see a model axis)."""
 
     @jax.custom_vjp
     def f(v, w, b):
@@ -275,10 +310,7 @@ def _peg_conv_residual(causal: bool):
             from .pallas_peg_bwd import peg_weight_grads
             dw, db = peg_weight_grads(v, gv, causal=causal)
         else:
-            _, vjp = jax.vjp(
-                lambda w_, b_: _peg_conv_residual_impl(v, w_, b_, causal),
-                w, b)
-            dw, db = vjp(g)
+            dw, db = _peg_weight_grads_taps(v, g, causal)
         return dv, dw.astype(w.dtype), db.astype(b.dtype)
 
     f.defvjp(fwd, bwd)
@@ -288,13 +320,14 @@ def _peg_conv_residual(causal: bool):
 def peg_residual(params, x: Array, video_shape: Tuple[int, int, int, int],
                  causal: bool = True,
                  use_pallas: Optional[bool] = None) -> Array:
-    """peg(x) + x. Defaults to the XLA conv formulation forward AND backward:
-    at flagship shapes (B=16, 24^3 grid, dim 512 on v5e) XLA's depthwise-conv
-    lowering measures 2.65 ms/apply vs 6.3 ms for the fused Pallas stencil
-    (ops/pallas_peg.py), and XLA autodiff's backward measures 3.70 ms/layer
-    vs 4.96 ms for the Pallas tap-accumulator VJP (_peg_conv_residual) — the
-    op is VPU-compute-bound both ways, so both kernels are opt-in recorded
-    negative results rather than defaults."""
+    """peg(x) + x. XLA conv formulation forward (2.65 ms/apply at flagship
+    B=16 vs 6.3 ms for the fused Pallas stencil, ops/pallas_peg.py — a
+    recorded negative result, opt-in via use_pallas); custom-VJP backward
+    (_peg_conv_residual) because XLA autodiff of a grouped conv mis-scales
+    the weight grad under GSPMD on multi-axis meshes (see
+    _peg_weight_grads_taps). CTCLIP_PEG_BWD=autodiff restores plain autodiff
+    (3.70 vs 4.96 ms/layer-bwd on v5e) — ONLY safe when no ("data","model")
+    mesh will ever see this program."""
     b, t, h, w = video_shape
     dim = x.shape[-1]
     if use_pallas is None:
@@ -303,7 +336,10 @@ def peg_residual(params, x: Array, video_shape: Tuple[int, int, int, int],
             and dim % 128 == 0 and h >= 3 and w >= 3):
         orig_shape = x.shape
         v = x.reshape(b, t, h, w, dim)
-        out = _peg_conv_residual_impl(v, params["w"], params["b"], causal)
+        if os.environ.get("CTCLIP_PEG_BWD") == "autodiff":
+            out = _peg_conv_residual_impl(v, params["w"], params["b"], causal)
+        else:
+            out = _peg_conv_residual(causal)(v, params["w"], params["b"])
         return out.reshape(orig_shape)
 
     from .pallas_peg import peg_fused

@@ -229,3 +229,71 @@ def test_transformer_taps_capture_and_inject():
     tp0 = Taps(inject={"1.ff_out": jnp.zeros_like(taps.collected["1.ff_out"])})
     out0, _ = transformer.transformer(p, cfg, x, taps=tp0)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out), atol=0)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_peg_residual_grad_mesh_safe(causal):
+    """The PEG weight grad must be identical on a multi-axis mesh and a
+    single device. XLA autodiff gets this WRONG (jax 0.9.0): the weight grad
+    of a feature_group_count>1 conv comes back multiplied by the size of
+    every mesh axis the conv is not partitioned over (2x on ("data","model")
+    =(4,2); dense convs unaffected) — which would scale every PEG gradient
+    in TP training. peg_residual therefore routes through the custom VJP
+    with a grouped-conv-free weight grad (_peg_weight_grads_taps)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    dim = 16
+    p = layers.init_peg(KEY, dim)
+    video_shape = (8, 2, 4, 4)
+    x = jnp.asarray(
+        np.random.RandomState(7).randn(8, 2 * 4 * 4, dim).astype(np.float32))
+
+    def loss(p_, x_):
+        return (layers.peg_residual(p_, x_, video_shape, causal=causal)
+                .astype(jnp.float32) ** 2).sum()
+
+    gfn = jax.jit(jax.grad(loss))
+    g_single = gfn(p, x)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    p_s = jax.device_put(p, NamedSharding(mesh, P()))
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data")))
+    g_mesh = gfn(p_s, x_s)
+
+    np.testing.assert_allclose(np.asarray(g_mesh["w"]),
+                               np.asarray(g_single["w"]), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_mesh["b"]),
+                               np.asarray(g_single["b"]), rtol=2e-5, atol=1e-5)
+
+
+def test_grouped_conv_gspmd_bug_canary():
+    """Canary for the upstream bug the previous test works around: XLA
+    autodiff of a grouped conv under a (4,2) mesh scales the weight grad by
+    the unused model-axis size. WHEN THIS TEST FAILS after a jax upgrade,
+    the bug is fixed upstream — drop _peg_weight_grads_taps and let
+    peg_residual use plain autodiff again (it is ~1.3 ms/layer faster on
+    v5e, see ops/layers.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    dim = 16
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 1, dim)) * 0.1
+    x = jax.random.normal(KEY, (8, 2, 4, 4, dim))
+
+    def loss(w_, v):
+        out = jax.lax.conv_general_dilated(
+            v, w_, window_strides=(1, 1, 1),
+            padding=((2, 0), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=dim)
+        return (out ** 2).sum()
+
+    gfn = jax.jit(jax.grad(loss))
+    g_single = np.asarray(gfn(w, x))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    g_mesh = np.asarray(gfn(jax.device_put(w, NamedSharding(mesh, P())),
+                            jax.device_put(x, NamedSharding(mesh, P("data")))))
+    ratio = np.abs(g_mesh).max() / np.abs(g_single).max()
+    assert abs(ratio - 2.0) < 1e-3, (
+        f"grouped-conv GSPMD grad ratio {ratio}: if this is now ~1.0 the "
+        "upstream bug is fixed — remove the PEG custom-VJP workaround")
