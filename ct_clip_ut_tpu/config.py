@@ -278,6 +278,11 @@ class TrainConfig:
     text_max_length: int = 512   # tokenizer truncation (CTClipTrainer.py:191)
     compute_dtype: str = "bfloat16"  # fp16 autocast in reference -> bf16 on TPU
     seed: int = 42
+    # GradCache chunking: split each step's batch into `grad_accum`
+    # microbatches while keeping the FULL-batch InfoNCE objective (plain
+    # gradient accumulation is invalid for contrastive losses — the sim
+    # matrix couples every sample in the batch). 1 = single-pass step.
+    grad_accum: int = 1
 
 
 @dataclass(frozen=True)

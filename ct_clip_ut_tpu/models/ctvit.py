@@ -288,7 +288,7 @@ def _ctvit_encode_tokens(params, cfg: CTViTConfig, tokens: Array, *,
         rng=rng, deterministic=deterministic)
 
     b, t, h, w, d = tokens.shape
-    flat = tokens.reshape(b, t * h * w, d)
+    flat = taps.tap("vq.input", tokens.reshape(b, t * h * w, d))
     quant, idx, vq_state = vq_apply(
         params["vq"], flat, freeze=freeze_vq,
         decay=cfg.vq_decay, eps=cfg.vq_eps)

@@ -17,6 +17,8 @@ Standard tap names (scope prefixes "spatial."/"temporal." in CT-ViT):
   {scope}{i}.attn_out   — self-attention block output, pre-residual
   {scope}{i}.ff_out     — feed-forward block output, pre-residual
   vq.features           — straight-through quantized tokens
+  vq.input              — pre-VQ encoder output [b, n, d] (GradCache train
+                          step derives chunked VQ-EMA stats from it)
 """
 
 from __future__ import annotations

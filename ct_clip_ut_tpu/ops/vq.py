@@ -94,6 +94,41 @@ def vq_lookup(state: VQState, x: Array) -> Tuple[Array, Array]:
     return quant.reshape(shape), idx.reshape(shape[:-1])
 
 
+def vq_batch_stats(idx: Array, flat: Array, codebook_size: int
+                   ) -> Tuple[Array, Array]:
+    """Per-batch assignment statistics feeding the EMA update: counts[c] and
+    embed_sum[c] = sum of (normalized) inputs assigned to code c. Both are
+    row-sums over the batch, so stats of a batch equal the sum of stats of
+    its microbatches — the property the chunked (GradCache) train step relies
+    on to reproduce full-batch VQ EMA semantics exactly (train/trainer.py).
+
+    Args: idx [n] int assignments; flat [n, dim] l2-normalized fp32 inputs.
+    """
+    onehot = jax.nn.one_hot(idx.reshape(-1), codebook_size, dtype=jnp.float32)
+    counts = onehot.sum(axis=0)                          # [codebook]
+    embed_sum = onehot.T @ flat                          # [codebook, dim]
+    return counts, embed_sum
+
+
+def vq_ema_update(state: VQState, counts: Array, embed_sum: Array, *,
+                  decay: float = 0.8, eps: float = 1e-5) -> VQState:
+    """One EMA codebook update from accumulated batch statistics, with
+    Laplace-smoothed cluster sizes and re-normalized rows (the
+    vector_quantize_pytorch cosine-codebook update the reference delegates
+    to, ctvit.py:66,117-118)."""
+    codebook_size = state.embed.shape[0]
+    cluster_size = state.cluster_size * decay + counts * (1.0 - decay)
+    embed_avg = state.embed_avg * decay + embed_sum * (1.0 - decay)
+
+    # Laplace smoothing of cluster sizes, then renormalize rows onto the sphere.
+    n = cluster_size.sum()
+    smoothed = (cluster_size + eps) / (n + codebook_size * eps) * n
+    embed = l2norm(embed_avg / smoothed[:, None])
+
+    return VQState(embed=embed, embed_avg=embed_avg,
+                   cluster_size=cluster_size)
+
+
 def vq_apply(state: VQState, x: Array, *, freeze: bool = True,
              decay: float = 0.8, eps: float = 1e-5
              ) -> Tuple[Array, Array, VQState]:
@@ -109,22 +144,9 @@ def vq_apply(state: VQState, x: Array, *, freeze: bool = True,
     if freeze:
         return out, idx, state
 
-    codebook_size, dim = state.embed.shape
+    _, dim = state.embed.shape
     flat = l2norm(x.reshape(-1, dim).astype(jnp.float32))
     flat = jax.lax.stop_gradient(flat)
-    onehot = jax.nn.one_hot(idx.reshape(-1), codebook_size, dtype=jnp.float32)
-
-    counts = onehot.sum(axis=0)                          # [codebook]
-    embed_sum = onehot.T @ flat                          # [codebook, dim]
-
-    cluster_size = state.cluster_size * decay + counts * (1.0 - decay)
-    embed_avg = state.embed_avg * decay + embed_sum * (1.0 - decay)
-
-    # Laplace smoothing of cluster sizes, then renormalize rows onto the sphere.
-    n = cluster_size.sum()
-    smoothed = (cluster_size + eps) / (n + codebook_size * eps) * n
-    embed = l2norm(embed_avg / smoothed[:, None])
-
-    new_state = VQState(embed=embed, embed_avg=embed_avg,
-                        cluster_size=cluster_size)
-    return out, idx, new_state
+    counts, embed_sum = vq_batch_stats(idx, flat, state.embed.shape[0])
+    return out, idx, vq_ema_update(state, counts, embed_sum,
+                                   decay=decay, eps=eps)

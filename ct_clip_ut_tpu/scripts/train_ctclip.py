@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1.25e-5)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--max-grad-norm", type=float, default=0.5)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="GradCache microbatch count: full-batch InfoNCE "
+                        "objective at batch/grad_accum activation memory "
+                        "(batch-size must be divisible by it)")
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--preprocess-cache", default=None,
@@ -96,7 +100,8 @@ def main(argv=None):
     model_cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
     train_cfg = TrainConfig(
         batch_size=args.batch_size, lr=args.lr, wd=args.wd,
-        max_grad_norm=args.max_grad_norm, num_epochs=args.num_epochs,
+        max_grad_norm=args.max_grad_norm, grad_accum=args.grad_accum,
+        num_epochs=args.num_epochs,
         num_train_samples=args.num_train_samples,
         num_valid_samples=args.num_valid_samples,
         save_best_model=args.save_best_model, seed=args.seed)

@@ -89,6 +89,131 @@ def make_train_step(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
         params = _write_back_vq(params, vq_state)  # EMA, not a grad step
         return TrainState(params, opt_state, state.step + 1, rng), loss
 
+    if train_cfg.grad_accum > 1:
+        return make_train_step_gradcache(model_cfg, train_cfg, tx)
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
+                              tx: optax.GradientTransformation) -> Callable:
+    """Chunked contrastive train step with the FULL-batch InfoNCE objective
+    at microbatch activation memory (the GradCache construction, Gao et al.
+    2021 — adapted here to whole-step jit + VQ EMA).
+
+    Plain gradient accumulation is wrong for this model: the reference's
+    whole point of `GatherWithGrad` (ctclip.py:10-41) is that InfoNCE is
+    computed over the GLOBAL batch sim matrix, which couples every sample —
+    summing per-microbatch losses would contrast each sample against only
+    its own microbatch. Instead:
+
+      pass 1  lax.scan over microbatches, no grads: image/text latents +
+              VQ assignment statistics (counts/embed_sum are row-sums, so
+              microbatch stats sum to the full-batch stats exactly);
+      head    loss + cotangents d loss/d latents + the temperature grad from
+              the [B, B] sim matrix — tiny;
+      pass 2  lax.scan re-runs each microbatch forward under jax.vjp with
+              its latent cotangents, accumulating param grads. XLA keeps
+              activations for ONE microbatch at a time.
+
+    Step semantics (loss value, param update, VQ EMA) match the single-pass
+    step exactly (tests/test_gradcache.py pins it); only dropout mask
+    DRAWS differ (per-microbatch fold_in), which is immaterial — dropout is
+    0 in every reference config. Enables effective batch sizes far beyond
+    single-pass HBM capacity, standing in for the reference's multi-GPU
+    global batch on a single chip."""
+    from ..models.ctclip import encode_image_latents, encode_text_latents
+    from ..ops.layers import l2norm
+    from ..ops.taps import Taps
+    from ..ops.vq import vq_batch_stats, vq_ema_update
+
+    compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+    k = train_cfg.grad_accum
+    vq_cfg = model_cfg.ctvit
+
+    def micro_latents(params, img_i, tok_i, rng_i):
+        """One microbatch forward -> (fp32 latents, VQ stats). freeze_vq=True
+        so every microbatch looks up the step's ORIGINAL codebook, exactly
+        like the single vq_apply over the full batch (lookup precedes the
+        EMA write there too)."""
+        _, r_text, r_img = jax.random.split(rng_i, 3)  # mirrors ctclip_apply
+        taps = Taps(capture=("vq.input",))
+        img_lat, vit_out = encode_image_latents(
+            params, model_cfg, img_i.astype(compute_dtype), freeze_vq=True,
+            taps=taps, rng=r_img, deterministic=False)
+        txt_lat = encode_text_latents(
+            params, model_cfg, tok_i, rng=r_text, deterministic=False,
+            compute_dtype=compute_dtype)
+        dim = vit_out.tokens.shape[-1]
+        flat = l2norm(jax.lax.stop_gradient(
+            taps.collected["vq.input"]).reshape(-1, dim).astype(jnp.float32))
+        counts, embed_sum = vq_batch_stats(
+            vit_out.codebook_ids.reshape(-1), flat, vq_cfg.codebook_size)
+        return (img_lat.astype(jnp.float32), txt_lat.astype(jnp.float32),
+                counts, embed_sum)
+
+    def loss_from_latents(temperature, img_lat, txt_lat):
+        sim = (img_lat @ txt_lat.T) * jnp.exp(temperature)
+        return contrastive_loss(sim)
+
+    def train_step(state: TrainState, image, text_tokens):
+        b = image.shape[0]
+        assert b % k == 0, (
+            f"batch {b} not divisible by grad_accum={k}; also keep "
+            f"batch/grad_accum divisible by the mesh data axis")
+        m = b // k
+        rng, step_rng = jax.random.split(state.rng)
+        rngs = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            step_rng, jnp.arange(k))
+        imgs = image.reshape(k, m, *image.shape[1:])
+        toks = {key: v.reshape(k, m, *v.shape[1:])
+                for key, v in text_tokens.items()}
+        params = state.params
+
+        # pass 1: latents + VQ stats, activations discarded per microbatch
+        def p1(carry, inp):
+            counts_c, esum_c = carry
+            img_i, tok_i, rng_i = inp
+            il, tl, counts, esum = micro_latents(params, img_i, tok_i, rng_i)
+            return (counts_c + counts, esum_c + esum), (il, tl)
+
+        vq0 = params["visual_transformer"]["vq"]
+        stats0 = (jnp.zeros_like(vq0.cluster_size), jnp.zeros_like(vq0.embed_avg))
+        (counts, esum), (ils, tls) = jax.lax.scan(
+            p1, stats0, (imgs, toks, rngs))
+        img_lat = ils.reshape(b, -1)
+        txt_lat = tls.reshape(b, -1)
+
+        # loss head: cotangents w.r.t. latents + the temperature grad
+        loss, (g_temp, g_il, g_tl) = jax.value_and_grad(
+            loss_from_latents, argnums=(0, 1, 2))(
+                params["temperature"], img_lat, txt_lat)
+        g_ils = g_il.reshape(k, m, -1)
+        g_tls = g_tl.reshape(k, m, -1)
+
+        # pass 2: per-microbatch VJP, grads accumulated in the carry
+        def p2(grads_c, inp):
+            img_i, tok_i, rng_i, gil_i, gtl_i = inp
+
+            def f(p):
+                il, tl, _, _ = micro_latents(p, img_i, tok_i, rng_i)
+                return il, tl
+
+            _, vjp_fn = jax.vjp(f, params)
+            (g,) = vjp_fn((gil_i, gtl_i))
+            return jax.tree.map(jnp.add, grads_c, g), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        grads, _ = jax.lax.scan(p2, zeros, (imgs, toks, rngs, g_ils, g_tls))
+        grads = dict(grads)
+        grads["temperature"] = g_temp  # latent path never reads it
+
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        vq_state = vq_ema_update(vq0, counts, esum,
+                                 decay=vq_cfg.vq_decay, eps=vq_cfg.vq_eps)
+        new_params = _write_back_vq(new_params, vq_state)
+        return TrainState(new_params, opt_state, state.step + 1, rng), loss
+
     return jax.jit(train_step, donate_argnums=(0,))
 
 
