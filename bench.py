@@ -212,6 +212,30 @@ def bench_kernel_parity() -> dict:
     g2_ = jax.jit(jax.grad(pe_loss_t, argnums=tuple(range(5))))(*pe_args)
     record("patch_embed_bwd", max(rel_err(a, b) for a, b in zip(g1, g2_)))
 
+    # PEG residual backward: the custom VJP (Pallas dkw weight grad on TPU,
+    # now the DEFAULT train path — XLA autodiff of the grouped conv
+    # mis-scales the weight grad on multi-axis meshes, ops/layers.py) vs
+    # plain autodiff of the same composition, which IS correct on a flat
+    # single-chip mesh and so serves as the twin here
+    from ct_clip_ut_tpu.ops.layers import (_peg_conv_residual,
+                                           _peg_conv_residual_impl, init_peg)
+    kg = jax.random.split(jax.random.PRNGKey(46), 2)
+    v_peg = jax.random.normal(kg[0], (2, t, 24, 24, d)).astype(dt)
+    p_peg = init_peg(kg[1], d)
+    peg_fused_fn = _peg_conv_residual(True)
+    peg_loss_f = lambda v_, w_, b_: (
+        peg_fused_fn(v_, w_, b_).astype(jnp.float32) ** 2).sum()
+    peg_loss_t = lambda v_, w_, b_: (
+        _peg_conv_residual_impl(v_, w_, b_, True).astype(jnp.float32) ** 2).sum()
+    record("peg_fwd", rel_err(jax.jit(peg_fused_fn)(v_peg, p_peg["w"], p_peg["b"]),
+                              jax.jit(lambda *a: _peg_conv_residual_impl(*a, True))(
+                                  v_peg, p_peg["w"], p_peg["b"])))
+    g1 = jax.jit(jax.grad(peg_loss_f, argnums=(0, 1, 2)))(
+        v_peg, p_peg["w"], p_peg["b"])
+    g2p = jax.jit(jax.grad(peg_loss_t, argnums=(0, 1, 2)))(
+        v_peg, p_peg["w"], p_peg["b"])
+    record("peg_bwd", max(rel_err(a, b) for a, b in zip(g1, g2p)))
+
     # VQ nearest: ties near bf16 margins are legal argmax choices — compare
     # SCORES of chosen codes, not raw indices
     kv = jax.random.split(jax.random.PRNGKey(45), 2)
