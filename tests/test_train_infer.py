@@ -185,3 +185,50 @@ def test_save_metrics_writes_table(tmp_path):
     M.save_metrics([m], ["x", "y"], tmp_path)
     text = (tmp_path / "metrics.txt").read_text()
     assert "Mean ROC-AUC" in text and "x" in text
+
+
+def test_train_step_tp_mesh_params_match_single_device():
+    """Single-pass train step on a ("data","model")=(4,2) mesh produces the
+    SAME parameter update as a single device — at the PARAM level, not just
+    the loss. The loss-only check above passed for a whole round while TP
+    PEG gradients were silently scaled 2x by the grouped-conv GSPMD bug
+    (ops/layers._peg_weight_grads_taps); this pins the update itself. SGD
+    so a param diff IS a grad diff (Adam's first step amplifies benign fp
+    noise on near-zero grads)."""
+    import optax
+
+    cfg = TrainConfig(lr=1e-3, compute_dtype="float32")
+    tx = optax.sgd(1e-3)
+    image, tokens = make_batch(jax.random.PRNGKey(5), 8)
+
+    def fresh_state():
+        params = trainer_mod.create_train_state(KEY, SMALL_CLIP, cfg)[0].params
+        return trainer_mod.TrainState(
+            params=params, opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.fold_in(KEY, 0))
+
+    step = trainer_mod.make_train_step(SMALL_CLIP, cfg, tx)
+    state_1, loss_1 = step(fresh_state(), image, tokens)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    state_m = fresh_state()
+    state_m = state_m._replace(
+        params=sharding.shard_params(state_m.params, mesh),
+        opt_state=jax.device_put(state_m.opt_state,
+                                 sharding.replicated(mesh)))
+    img_s = sharding.shard_batch(image, mesh)
+    tok_s = {k: sharding.shard_batch(v, mesh) for k, v in tokens.items()}
+    state_m, loss_m = step(state_m, img_s, tok_s)
+
+    np.testing.assert_allclose(float(loss_1), float(loss_m),
+                               rtol=1e-5, atol=1e-6)
+    flat_1, _ = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(state_1.params))
+    flat_m, _ = jax.tree.flatten(jax.device_get(state_m.params))
+    for (path, a), b in zip(flat_1, flat_m):
+        if np.asarray(a).size == 0:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=2e-5, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path))
