@@ -252,18 +252,22 @@ def test_peg_residual_grad_mesh_safe(causal):
         return (layers.peg_residual(p_, x_, video_shape, causal=causal)
                 .astype(jnp.float32) ** 2).sum()
 
-    gfn = jax.jit(jax.grad(loss))
-    g_single = gfn(p, x)
+    gfn = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    g_single, gx_single = gfn(p, x)
 
     mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
     p_s = jax.device_put(p, NamedSharding(mesh, P()))
     x_s = jax.device_put(x, NamedSharding(mesh, P("data")))
-    g_mesh = gfn(p_s, x_s)
+    g_mesh, gx_mesh = gfn(p_s, x_s)
 
     np.testing.assert_allclose(np.asarray(g_mesh["w"]),
                                np.asarray(g_single["w"]), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_mesh["b"]),
                                np.asarray(g_single["b"]), rtol=2e-5, atol=1e-5)
+    # the input grad rides a grouped conv APPLICATION in the custom bwd
+    # (safe — only the grouped-conv weight grad is GSPMD-broken) — pin it
+    np.testing.assert_allclose(np.asarray(gx_mesh), np.asarray(gx_single),
+                               rtol=2e-5, atol=1e-5)
 
 
 def test_grouped_conv_gspmd_bug_canary():
