@@ -18,6 +18,18 @@ def test_train_parser():
     assert args.lr == 1.25e-5 and args.wd == 0.0  # reference defaults
 
 
+def test_train_rejects_indivisible_grad_accum():
+    """batch_size % grad_accum != 0 fails at parse time (the GradCache step
+    would assert at trace time — surface it before any model build)."""
+    with pytest.raises(SystemExit):
+        train_ctclip.main([
+            "--data-train", "/d/t", "--data-valid", "/d/v",
+            "--train-reports", "r.csv", "--valid-reports", "v.csv",
+            "--valid-labels", "l.csv", "--train-metadata", "m.csv",
+            "--valid-metadata", "vm.csv", "--batch-size", "8",
+            "--grad-accum", "3"])
+
+
 def test_inference_parser():
     args = inference_ctclip.build_parser().parse_args([
         "--data-valid", "/d/v", "--valid-reports", "v.csv",

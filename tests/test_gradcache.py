@@ -130,3 +130,31 @@ def test_gradcache_many_chunks_loss_decreases():
     cluster1 = np.asarray(state.params["visual_transformer"]["vq"].cluster_size)
     assert not np.allclose(cluster0, cluster1)
     assert int(state.step) == 6
+
+
+def test_gradcache_with_remat_matches_full_batch_step():
+    """grad_accum composes with per-layer remat (the flagship training
+    config): scan-of-vjp over jax.checkpoint'd layers still reproduces the
+    plain full-batch step."""
+    import optax
+
+    clip_r = replace(CLIP, ctvit=replace(VIT, remat=True))
+    image, tokens = make_batch(jax.random.PRNGKey(4), 4)
+    tx = optax.sgd(1e-3)
+
+    def fresh(cfg, clip):
+        params = trainer_mod.create_train_state(KEY, clip, cfg)[0].params
+        return trainer_mod.TrainState(
+            params=params, opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.fold_in(KEY, 0))
+
+    step_f = trainer_mod.make_train_step(CLIP, TRAIN, tx)
+    state_f, loss_f = step_f(fresh(TRAIN, CLIP), image, tokens)
+
+    cfg_gc = replace(TRAIN, grad_accum=2)
+    step_g = trainer_mod.make_train_step(clip_r, cfg_gc, tx)
+    state_g, loss_g = step_g(fresh(cfg_gc, clip_r), image, tokens)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_g),
+                               rtol=1e-6, atol=1e-7)
+    _tree_allclose(state_f.params, state_g.params, rtol=2e-5, atol=1e-6)
