@@ -227,9 +227,9 @@ def bench_kernel_parity() -> dict:
         peg_fused_fn(v_, w_, b_).astype(jnp.float32) ** 2).sum()
     peg_loss_t = lambda v_, w_, b_: (
         _peg_conv_residual_impl(v_, w_, b_, True).astype(jnp.float32) ** 2).sum()
-    record("peg_fwd", rel_err(jax.jit(peg_fused_fn)(v_peg, p_peg["w"], p_peg["b"]),
-                              jax.jit(lambda *a: _peg_conv_residual_impl(*a, True))(
-                                  v_peg, p_peg["w"], p_peg["b"])))
+    # (no fwd record: the custom VJP's primal IS _peg_conv_residual_impl,
+    # so a forward comparison would be 0 by construction — only the
+    # backward formulations differ)
     g1 = jax.jit(jax.grad(peg_loss_f, argnums=(0, 1, 2)))(
         v_peg, p_peg["w"], p_peg["b"])
     g2p = jax.jit(jax.grad(peg_loss_t, argnums=(0, 1, 2)))(

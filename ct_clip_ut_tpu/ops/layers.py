@@ -306,7 +306,13 @@ def _peg_conv_residual(causal: bool):
             feature_group_count=dim,
         )
         dv = (dv.astype(jnp.float32) + g.astype(jnp.float32)).astype(v.dtype)
-        if jax.default_backend() == "tpu" and dim % 128 == 0:
+        # Pallas dkw only when nothing can partition it: a bare pallas_call
+        # under GSPMD on a multi-device mesh would be force-replicated (or
+        # fail to partition) — exactly the configuration this custom VJP
+        # exists to make safe. Multi-device runs use the taps formulation,
+        # which is built from partitionable primitives.
+        if (jax.default_backend() == "tpu" and dim % 128 == 0
+                and jax.device_count() == 1):
             from .pallas_peg_bwd import peg_weight_grads
             dw, db = peg_weight_grads(v, gv, causal=causal)
         else:

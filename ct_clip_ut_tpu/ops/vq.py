@@ -94,6 +94,17 @@ def vq_lookup(state: VQState, x: Array) -> Tuple[Array, Array]:
     return quant.reshape(shape), idx.reshape(shape[:-1])
 
 
+def vq_stats_input(x: Array, dim: int) -> Array:
+    """The exact input view the EMA statistics are computed from: flattened,
+    l2-normalized fp32, detached. ONE definition shared by vq_apply's
+    unfrozen branch and the GradCache chunked train step
+    (train/trainer.py) — if these ever diverged, the chunked step's
+    reconstructed EMA would silently desynchronize from the single-pass
+    step."""
+    flat = l2norm(x.reshape(-1, dim).astype(jnp.float32))
+    return jax.lax.stop_gradient(flat)
+
+
 def vq_batch_stats(idx: Array, flat: Array, codebook_size: int
                    ) -> Tuple[Array, Array]:
     """Per-batch assignment statistics feeding the EMA update: counts[c] and
@@ -145,8 +156,7 @@ def vq_apply(state: VQState, x: Array, *, freeze: bool = True,
         return out, idx, state
 
     _, dim = state.embed.shape
-    flat = l2norm(x.reshape(-1, dim).astype(jnp.float32))
-    flat = jax.lax.stop_gradient(flat)
+    flat = vq_stats_input(x, dim)
     counts, embed_sum = vq_batch_stats(idx, flat, state.embed.shape[0])
     return out, idx, vq_ema_update(state, counts, embed_sum,
                                    decay=decay, eps=eps)

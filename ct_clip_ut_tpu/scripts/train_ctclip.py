@@ -78,9 +78,10 @@ def make_cli_mesh(args):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.grad_accum < 1 or args.batch_size % args.grad_accum:
-        build_parser().error(
+        parser.error(
             f"--batch-size {args.batch_size} must be a positive multiple of "
             f"--grad-accum {args.grad_accum}")
 

@@ -72,6 +72,8 @@ def make_train_step(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
     """Whole-step jit. Sharding comes from the inputs: params carry their
     NamedShardings (parallel/sharding.py), batches are sharded over "data" —
     GSPMD propagates and inserts the ICI collectives."""
+    if train_cfg.grad_accum > 1:
+        return make_train_step_gradcache(model_cfg, train_cfg, tx)
     compute_dtype = jnp.dtype(train_cfg.compute_dtype)
 
     def loss_fn(params, image, text_tokens, rng):
@@ -89,8 +91,6 @@ def make_train_step(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
         params = _write_back_vq(params, vq_state)  # EMA, not a grad step
         return TrainState(params, opt_state, state.step + 1, rng), loss
 
-    if train_cfg.grad_accum > 1:
-        return make_train_step_gradcache(model_cfg, train_cfg, tx)
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -122,9 +122,8 @@ def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
     single-pass HBM capacity, standing in for the reference's multi-GPU
     global batch on a single chip."""
     from ..models.ctclip import encode_image_latents, encode_text_latents
-    from ..ops.layers import l2norm
     from ..ops.taps import Taps
-    from ..ops.vq import vq_batch_stats, vq_ema_update
+    from ..ops.vq import vq_batch_stats, vq_ema_update, vq_stats_input
 
     compute_dtype = jnp.dtype(train_cfg.compute_dtype)
     k = train_cfg.grad_accum
@@ -144,8 +143,7 @@ def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
             params, model_cfg, tok_i, rng=r_text, deterministic=False,
             compute_dtype=compute_dtype)
         dim = vit_out.tokens.shape[-1]
-        flat = l2norm(jax.lax.stop_gradient(
-            taps.collected["vq.input"]).reshape(-1, dim).astype(jnp.float32))
+        flat = vq_stats_input(taps.collected["vq.input"], dim)
         counts, embed_sum = vq_batch_stats(
             vit_out.codebook_ids.reshape(-1), flat, vq_cfg.codebook_size)
         return (img_lat.astype(jnp.float32), txt_lat.astype(jnp.float32),
