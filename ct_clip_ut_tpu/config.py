@@ -283,6 +283,10 @@ class TrainConfig:
     # gradient accumulation is invalid for contrastive losses — the sim
     # matrix couples every sample in the batch). 1 = single-pass step.
     grad_accum: int = 1
+    # orbax/TensorStore checkpoint directories (every process writes its own
+    # shards — collective save, no process-0 full gather) instead of rank-0
+    # msgpack files. Required for multi-host states that outgrow host RAM.
+    sharded_checkpoints: bool = False
 
 
 @dataclass(frozen=True)

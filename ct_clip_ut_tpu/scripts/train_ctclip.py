@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "objective at batch/grad_accum activation memory "
                         "(batch-size must be divisible by it)")
     p.add_argument("--save-best-model", action="store_true")
+    p.add_argument("--sharded-checkpoints", action="store_true",
+                   help="orbax/TensorStore checkpoint dirs: each process "
+                        "writes its own shards (collective save) — required "
+                        "once the state outgrows one host's RAM")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--preprocess-cache", default=None,
                    help="dir for preprocessed-volume .npy cache "
@@ -109,7 +113,8 @@ def main(argv=None):
         num_epochs=args.num_epochs,
         num_train_samples=args.num_train_samples,
         num_valid_samples=args.num_valid_samples,
-        save_best_model=args.save_best_model, seed=args.seed)
+        save_best_model=args.save_best_model, seed=args.seed,
+        sharded_checkpoints=args.sharded_checkpoints)
 
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 

@@ -46,6 +46,54 @@ def load_checkpoint(path, template):
     return serialization.from_bytes(template, pathlib.Path(path).read_bytes())
 
 
+def _pack_empty(x):
+    # orbax refuses zero-size arrays (disabled null_kv leaves are [0, ...]);
+    # swap in a scalar placeholder, restore swaps the template leaf back
+    if hasattr(x, "size") and x.size == 0:
+        return np.zeros((), np.int8)
+    return x
+
+
+def save_checkpoint_sharded(path, state) -> None:
+    """Scalable alternative to `save_checkpoint`: every process writes its
+    own array shards in parallel via orbax/TensorStore, so no host ever
+    materializes the full state (the msgpack path gathers everything onto
+    process 0 — fine single-host, impossible once params + Adam moments
+    outgrow host RAM). Writes a DIRECTORY, not a file. In multi-process
+    runs ALL processes must call this (it is a collective), unlike the
+    rank-0-gated msgpack save."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(_pack_empty, state), force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_checkpoint_sharded(path, template):
+    """Restore a `save_checkpoint_sharded` directory into the structure AND
+    shardings of `template`: each leaf comes back placed like the template's
+    (sharded jax.Arrays restore shard-by-shard on their own devices —
+    resharding across a different mesh works, TensorStore reads the needed
+    slices). `template` may be the live TrainState."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    packed = jax.tree.map(_pack_empty, template)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=getattr(x, "sharding", None))
+        if isinstance(x, jax.Array) else x, packed)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(pathlib.Path(path).absolute(), abstract)
+    ckptr.close()
+    return jax.tree.map(
+        lambda r, t: t if (hasattr(t, "size") and t.size == 0) else r,
+        restored, template)
+
+
 # ---------------------------------------------------------------------------
 # torch -> jax conversion helpers
 # ---------------------------------------------------------------------------

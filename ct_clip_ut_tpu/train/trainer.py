@@ -323,15 +323,24 @@ class CTClipTrainer:
         return images, tokens
 
     def save_model(self, name: str):
-        if not self.is_main:  # rank-0 write (reference CTClipTrainer.py:136)
+        if self.cfg.sharded_checkpoints:
+            # collective: EVERY process writes its own shards (no rank gate)
+            ckpt.save_checkpoint_sharded(self.results_folder / name,
+                                         self.state)
+        elif self.is_main:  # rank-0 write (reference CTClipTrainer.py:136)
+            ckpt.save_checkpoint(self.results_folder / name, self.state)
+        else:
             return
-        ckpt.save_checkpoint(self.results_folder / name, self.state)
-        (self.results_folder / "architecture.json").write_text(
-            json.dumps({"model_cfg": repr(self.model_cfg),
-                        "train_cfg": repr(self.cfg)}, indent=2))
+        if self.is_main:
+            (self.results_folder / "architecture.json").write_text(
+                json.dumps({"model_cfg": repr(self.model_cfg),
+                            "train_cfg": repr(self.cfg)}, indent=2))
 
     def load_model(self, path):
-        self.state = ckpt.load_checkpoint(path, self.state)
+        if self.cfg.sharded_checkpoints:
+            self.state = ckpt.load_checkpoint_sharded(path, self.state)
+        else:
+            self.state = ckpt.load_checkpoint(path, self.state)
 
     # -- loops --------------------------------------------------------------
 
@@ -347,7 +356,9 @@ class CTClipTrainer:
 
         if epoch == 0 or (avg < self.best_score and self.cfg.save_best_model):
             self.best_score = min(avg, self.best_score)
-            self.save_model("best_checkpoint.msgpack")
+            self.save_model("best_checkpoint.orbax"
+                            if self.cfg.sharded_checkpoints
+                            else "best_checkpoint.msgpack")
         if self.is_main:
             try:
                 from ..utils.metrics import plot_training_progress

@@ -180,3 +180,41 @@ def test_ctclip_checkpoint_roundtrip(tmp_path):
     flat2 = jax.tree.leaves(restored)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_checkpoint_roundtrip_and_reshard(tmp_path):
+    """orbax sharded checkpoint: save a TrainState sharded over a 4x2 mesh
+    (per-process shard writes, checkpoint.save_checkpoint_sharded), restore
+    (a) onto the same shardings and (b) RESHARDED onto an 8x1 mesh — both
+    bit-equal, (b) carrying the new placement. Covers the empty-leaf
+    (null_kv) placeholder packing."""
+    from ct_clip_ut_tpu.config import MeshConfig, TrainConfig
+    from ct_clip_ut_tpu.parallel import sharding
+    from ct_clip_ut_tpu.parallel.mesh import make_mesh
+    from ct_clip_ut_tpu.train import trainer as trainer_mod
+
+    state, _ = trainer_mod.create_train_state(KEY, SMALL_CLIP, TrainConfig())
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    state = state._replace(
+        params=sharding.shard_params(state.params, mesh),
+        opt_state=jax.device_put(state.opt_state, sharding.replicated(mesh)))
+
+    path = tmp_path / "ck.orbax"
+    ckpt.save_checkpoint_sharded(path, state)
+
+    def assert_equal(restored):
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert_equal(ckpt.load_checkpoint_sharded(path, state))
+
+    mesh2 = make_mesh(MeshConfig(data=8, model=1))
+    state2 = state._replace(
+        params=jax.device_put(jax.tree.map(np.asarray, state.params),
+                              sharding.param_shardings(state.params, mesh2)),
+        opt_state=jax.device_put(jax.tree.map(np.asarray, state.opt_state),
+                                 sharding.replicated(mesh2)))
+    restored2 = ckpt.load_checkpoint_sharded(path, state2)
+    assert_equal(restored2)
+    leaf = restored2.params["visual_transformer"]["to_patch_emb"]["proj"]["w"]
+    assert leaf.sharding.mesh.shape["data"] == 8
