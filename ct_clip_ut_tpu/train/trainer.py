@@ -263,11 +263,27 @@ class CTClipTrainer:
         self.train_step = make_train_step(model_cfg, train_cfg, self.tx)
         self.eval_step = make_eval_step(model_cfg, train_cfg)
 
-        # dated + indexed results dir (reference CTClipTrainer.py:122-131)
-        base = Path(results_folder) / datetime.now().strftime("%d-%m-%Y")
-        base.mkdir(parents=True, exist_ok=True)
-        idx = len([d for d in base.iterdir() if d.is_dir()]) + 1
-        self.results_folder = base / str(idx)
+        # dated + indexed results dir (reference CTClipTrainer.py:122-131).
+        # In multi-process runs PROCESS 0 picks the run dir and broadcasts it:
+        # counting subdirs independently per process races on a shared fs
+        # (both count N, one mkdirs N+1 before the other counts -> different
+        # run dirs), and collective writes (sharded checkpoints) require every
+        # process to agree on the path.
+        if jax.process_count() <= 1 or jax.process_index() == 0:
+            base = Path(results_folder) / datetime.now().strftime("%d-%m-%Y")
+            base.mkdir(parents=True, exist_ok=True)
+            idx = len([d for d in base.iterdir() if d.is_dir()]) + 1
+            run_rel = f"{base.name}/{idx}"
+        else:
+            run_rel = ""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            buf = np.zeros(64, np.uint8)
+            raw = run_rel.encode()
+            buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            run_rel = bytes(buf[buf != 0]).decode()
+        self.results_folder = Path(results_folder) / run_rel
         self.results_folder.mkdir(parents=True, exist_ok=True)
 
         self.train_losses = {"steps": [], "epochs": []}

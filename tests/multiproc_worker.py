@@ -11,6 +11,9 @@ single-process test — actually execute here:
   * infer/zeroshot.gather_predictions      (process_allgather)
   * train/trainer rank-0 gating            (save_model writes on process 0 only)
   * data/loader.ShardedSampler             (per-process disjoint shards)
+  * train/checkpoint sharded orbax path    (collective per-process shard
+                                            writes + restore onto the live
+                                            process-spanning shardings)
   * parallel/sp_encoder                    (ring + PEG-halo ppermutes across
                                             a process-spanning "model" axis)
 
@@ -114,6 +117,39 @@ def main() -> None:
     trainer.save_model("mp_checkpoint.msgpack")
     wrote = (trainer.results_folder / "mp_checkpoint.msgpack").exists()
     assert wrote == (pid == 0), (pid, wrote)
+
+    # both processes must have agreed on the SAME run dir (process-0 pick
+    # broadcast — the independent subdir count races on a shared fs)
+    folder_u8 = np.zeros(128, np.uint8)
+    raw = str(trainer.results_folder).encode()
+    folder_u8[:len(raw)] = np.frombuffer(raw, np.uint8)
+    folders = np.asarray(multihost_utils.process_allgather(folder_u8))
+    assert (folders[0] == folders[1]).all(), "run dirs diverged across procs"
+
+    # ---- orbax sharded checkpoint: COLLECTIVE save/restore ---------------
+    # every process writes its own TensorStore shards (no rank gate, no
+    # process-0 full gather), then restores onto the live process-spanning
+    # shardings; addressable shards must roundtrip bit-equal
+    import dataclasses
+    trainer.cfg = dataclasses.replace(cfg, sharded_checkpoints=True)
+    before = [np.asarray(s.data)
+              for leaf in jax.tree.leaves(trainer.state)
+              if hasattr(leaf, "addressable_shards")
+              for s in leaf.addressable_shards]
+    trainer.save_model("mp_checkpoint.orbax")
+    assert (trainer.results_folder / "mp_checkpoint.orbax").is_dir()
+    trainer.state = trainer.state._replace(
+        params=jax.tree.map(lambda x: x * 0, trainer.state.params))
+    trainer.load_model(trainer.results_folder / "mp_checkpoint.orbax")
+    after = [np.asarray(s.data)
+             for leaf in jax.tree.leaves(trainer.state)
+             if hasattr(leaf, "addressable_shards")
+             for s in leaf.addressable_shards]
+    assert len(before) == len(after)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    result["orbax_roundtrip_ok"] = True
+    trainer.cfg = cfg
 
     # ---- sharded zero-shot eval over the 2-process mesh -----------------
     mesh = make_mesh()

@@ -81,6 +81,14 @@ def test_two_process_sp_encoder_matches_dense(worker_results):
     assert r0["sp_err"] < 2e-5 and r1["sp_err"] < 2e-5
 
 
+def test_two_process_orbax_collective_checkpoint(worker_results):
+    """Both processes participated in the collective orbax save (per-process
+    shard writes, no rank gate) and restored their own addressable shards
+    bit-equal after a perturb (asserted inside each worker)."""
+    r0, r1 = worker_results
+    assert r0.get("orbax_roundtrip_ok") and r1.get("orbax_roundtrip_ok")
+
+
 def test_two_process_matches_single_process(worker_results, tmp_path):
     """2-process global-batch loss == 1-process 8-device loss, same batch."""
     from test_trainer_driver import SMALL_CLIP, HashTokenizer
