@@ -1,1 +1,1 @@
-from . import collectives, mesh, sharding  # noqa: F401
+from . import collectives, mesh, pipeline, sharding  # noqa: F401
