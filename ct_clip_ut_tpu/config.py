@@ -88,6 +88,12 @@ class TransformerConfig:
     # FLOPs for O(depth) -> O(1) activation memory — the TPU answer to the
     # reference's fp16-autocast memory ceiling
     remat: bool = False
+    # Mixture-of-Experts FF (expert parallelism, parallel/moe.py): >0 swaps
+    # every layer's dense GEGLU FF for moe_experts routed experts (top-k
+    # routing, GShard dense dispatch). 0 = dense (reference parity).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 2.0
 
     def self_attn(self) -> AttentionConfig:
         return AttentionConfig(
@@ -136,6 +142,13 @@ class CTViTConfig:
     # the bit-stable matmul formulation (attribution/capture.parity_cfg).
     patch_embed_conv: bool = True
     remat: bool = False  # per-layer remat in the encoders (training memory)
+    # MoE CT-ViT variant: >0 swaps every encoder FF for moe_experts routed
+    # experts (expert-parallel over the mesh "model" axis, parallel/moe.py).
+    # 0 = dense (reference parity). The stack's load-balance aux loss is
+    # surfaced through CTCLIPOutput.moe_aux and weighted into the train loss
+    # by TrainConfig.moe_aux_weight.
+    moe_experts: int = 0
+    moe_top_k: int = 2
 
     @property
     def patch_height(self) -> int:
@@ -158,14 +171,16 @@ class CTViTConfig:
             dim=self.dim, depth=self.spatial_depth, dim_head=self.dim_head,
             heads=self.heads, attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout, peg=True, peg_causal=True,
-            remat=self.remat)
+            remat=self.remat, moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k)
 
     def temporal_transformer(self) -> TransformerConfig:
         return TransformerConfig(
             dim=self.dim, depth=self.temporal_depth, dim_head=self.dim_head,
             heads=self.heads, attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout, peg=True, peg_causal=True,
-            remat=self.remat)
+            remat=self.remat, moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k)
 
 
 @dataclass(frozen=True)
@@ -287,6 +302,9 @@ class TrainConfig:
     # shards — collective save, no process-0 full gather) instead of rank-0
     # msgpack files. Required for multi-host states that outgrow host RAM.
     sharded_checkpoints: bool = False
+    # weight on the MoE load-balance aux loss (only read when the model has
+    # ctvit.moe_experts > 0; the GShard paper's default scale)
+    moe_aux_weight: float = 0.01
 
 
 @dataclass(frozen=True)

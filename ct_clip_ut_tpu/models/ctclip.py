@@ -55,6 +55,9 @@ class CTCLIPOutput(NamedTuple):
     spatial_attn: Optional[tuple]
     temporal_attn: Optional[tuple]
     vq_state: VQState
+    # CT-ViT MoE load-balance aux loss (None for the dense parity model);
+    # the train step adds TrainConfig.moe_aux_weight * moe_aux to the loss
+    moe_aux: Optional[Array] = None
 
 
 def encode_image_latents(params, cfg: CTCLIPConfig, image: Array, *,
@@ -190,7 +193,8 @@ def ctclip_apply(params, cfg: CTCLIPConfig, text_tokens, image: Array, *,
         image_tokens=vit_out.tokens,
         spatial_attn=vit_out.spatial_attn,
         temporal_attn=vit_out.temporal_attn,
-        vq_state=vit_out.vq_state)
+        vq_state=vit_out.vq_state,
+        moe_aux=vit_out.moe_aux)
 
 
 def contrastive_loss(sim_matrix: Array, targets: Optional[Array] = None) -> Array:

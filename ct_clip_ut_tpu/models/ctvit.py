@@ -183,6 +183,9 @@ class CTViTOutput(NamedTuple):
     spatial_attn: Optional[tuple]
     temporal_attn: Optional[tuple]
     vq_state: VQState             # updated when training (EMA), else input
+    # summed MoE load-balance aux loss over both encoder stacks (None when
+    # cfg.moe_experts == 0, i.e. the dense reference-parity model)
+    moe_aux: Optional[Array] = None
 
 
 def ctvit_temporal_encode(params, cfg: CTViTConfig, x: Array, *,
@@ -294,9 +297,11 @@ def _ctvit_encode_tokens(params, cfg: CTViTConfig, tokens: Array, *,
         decay=cfg.vq_decay, eps=cfg.vq_eps)
     quant = taps.tap("vq.features", quant)
 
+    auxes = [a.moe_aux for a in (sp_aux, tm_aux) if a.moe_aux is not None]
     return CTViTOutput(
         tokens=quant.reshape(b, t, h, w, d),
         codebook_ids=idx.reshape(b, t, h, w),
         spatial_attn=sp_aux.self_attn,
         temporal_attn=tm_aux.self_attn,
-        vq_state=vq_state)
+        vq_state=vq_state,
+        moe_aux=sum(auxes) if auxes else None)

@@ -31,9 +31,14 @@ def init_transformer(key, cfg: TransformerConfig):
     layers = []
     for _ in range(cfg.depth):
         key, k_peg, k_attn, k_cross, k_ff = jax.random.split(key, 5)
+        if cfg.moe_experts > 0:
+            from ..parallel.moe import init_moe_ff
+            ff = init_moe_ff(k_ff, cfg.dim, cfg.ff_inner_dim, cfg.moe_experts)
+        else:
+            ff = init_feedforward(k_ff, cfg.dim, cfg.ff_inner_dim)
         layer = {
             "self_attn": init_attention(k_attn, cfg.self_attn()),
-            "ff": init_feedforward(k_ff, cfg.dim, cfg.ff_inner_dim),
+            "ff": ff,
         }
         if cfg.peg:
             layer["peg"] = init_peg(k_peg, cfg.dim)
@@ -46,6 +51,9 @@ def init_transformer(key, cfg: TransformerConfig):
 class TransformerAux(NamedTuple):
     self_attn: Optional[Tuple[Array, ...]]   # per-layer pre-dropout weights
     cross_attn: Optional[Tuple[Array, ...]]
+    # summed GShard load-balance loss over MoE layers (None when dense);
+    # add cfg-weighted to the task loss when training an MoE stack
+    moe_aux: Optional[Array] = None
 
 
 def transformer(params, cfg: TransformerConfig, x: Array, *,
@@ -109,6 +117,21 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
             attn_bias=attn_bias, mask=self_attn_mask, return_weights=want_w,
             rng=r_attn, deterministic=deterministic, residual=residual)
 
+    def apply_ff(layer, x, r_ff, residual):
+        """(out, aux_or_None): dense GEGLU FF or MoE routed FF."""
+        if cfg.moe_experts > 0:
+            from ..parallel.moe import moe_feedforward
+            return moe_feedforward(
+                layer["ff"], x, top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                dropout_rate=cfg.ff_dropout, rng=r_ff,
+                deterministic=deterministic, residual=residual)
+        return feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
+                           rng=r_ff, deterministic=deterministic,
+                           residual=residual), None
+
+    moe_auxes = []
+
     def plain_layer(layer, x, r_attn, r_cross, r_ff):
         # residual=True folds the +x into each fused kernel's output write
         # (a separate XLA add is an extra full-HBM pass per block)
@@ -120,9 +143,8 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
                 layer["cross_attn"], cfg.cross_attn(), x, context=context,
                 mask=cross_attn_context_mask, return_weights=False,
                 rng=r_cross, deterministic=deterministic, residual=True)
-        return feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
-                           rng=r_ff, deterministic=deterministic,
-                           residual=True)
+        out, aux = apply_ff(layer, x, r_ff, True)
+        return (out, aux) if cfg.moe_experts > 0 else out
 
     if use_remat:
         remat_layer = jax.checkpoint(plain_layer,
@@ -133,7 +155,12 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
             else:
                 r_attn = r_cross = r_ff = None
             x = remat_layer(layer, x, r_attn, r_cross, r_ff)
-        return layernorm(params["norm_out"], x), TransformerAux(None, None)
+            if cfg.moe_experts > 0:
+                x, aux = x
+                moe_auxes.append(aux)
+        return layernorm(params["norm_out"], x), TransformerAux(
+            None, None,
+            sum(moe_auxes) if moe_auxes else None)
 
     for i, layer in enumerate(params["layers"]):
         if cfg.peg:
@@ -183,9 +210,9 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
 
         ff_tapped = (f"{scope}{i}.ff_out" in taps.inject
                      or taps.wants(f"{scope}{i}.ff_out"))
-        ff_out = feedforward(layer["ff"], x, dropout_rate=cfg.ff_dropout,
-                             rng=r_ff, deterministic=deterministic,
-                             residual=not ff_tapped)
+        ff_out, ff_aux = apply_ff(layer, x, r_ff, not ff_tapped)
+        if ff_aux is not None:
+            moe_auxes.append(ff_aux)
         if ff_tapped:
             ff_out = taps.tap(f"{scope}{i}.ff_out", ff_out)
             x = ff_out + x
@@ -195,5 +222,6 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
     out = layernorm(params["norm_out"], x)
     aux = TransformerAux(
         self_attn=tuple(self_weights) if return_weights else None,
-        cross_attn=tuple(cross_weights) if (return_weights and cross_weights) else None)
+        cross_attn=tuple(cross_weights) if (return_weights and cross_weights) else None,
+        moe_aux=sum(moe_auxes) if moe_auxes else None)
     return out, aux

@@ -42,6 +42,10 @@ def _spec_for(path, leaf) -> P:
             return P("model", None)
     if leaf.ndim == 1 and parent in _COL_SHARDED and name == "b":
         return P("model")
+    # MoE expert stacks [E, ...]: expert-parallel over "model" — the
+    # dispatch/combine einsums become the EP all-to-all (parallel/moe.py)
+    if leaf.ndim == 3 and parent == "experts":
+        return P("model", None, None)
     return P()
 
 

@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--mesh-data", type=int, default=None,
                    help="data-parallel mesh axis size (default: all devices)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="MoE CT-ViT variant: number of routed FF experts per "
+                        "encoder layer (expert-parallel over the mesh "
+                        "'model' axis, parallel/moe.py); 0 = dense "
+                        "reference-parity model")
+    p.add_argument("--moe-aux-weight", type=float, default=0.01,
+                   help="weight on the MoE load-balance aux loss")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh axis size; data*model must "
                         "equal the device count")
@@ -106,7 +113,8 @@ def main(argv=None):
     from ..train.trainer import CTClipTrainer
 
     # flagship model (reference train_ctclip.py:19-37)
-    model_cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
+    model_cfg = CTCLIPConfig(ctvit=CTViTConfig(
+        dim_head=32, moe_experts=args.moe_experts))
     train_cfg = TrainConfig(
         batch_size=args.batch_size, lr=args.lr, wd=args.wd,
         max_grad_norm=args.max_grad_norm, grad_accum=args.grad_accum,
@@ -114,7 +122,8 @@ def main(argv=None):
         num_train_samples=args.num_train_samples,
         num_valid_samples=args.num_valid_samples,
         save_best_model=args.save_best_model, seed=args.seed,
-        sharded_checkpoints=args.sharded_checkpoints)
+        sharded_checkpoints=args.sharded_checkpoints,
+        moe_aux_weight=args.moe_aux_weight)
 
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 

@@ -80,7 +80,10 @@ def make_train_step(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
         out = ctclip_apply(
             params, model_cfg, text_tokens, image.astype(compute_dtype),
             freeze_vq=False, rng=rng, deterministic=False)
-        return contrastive_loss(out.sim_matrix), out.vq_state
+        loss = contrastive_loss(out.sim_matrix)
+        if out.moe_aux is not None:  # MoE CT-ViT variant (parallel/moe.py)
+            loss = loss + train_cfg.moe_aux_weight * out.moe_aux
+        return loss, out.vq_state
 
     def train_step(state: TrainState, image, text_tokens):
         rng, step_rng = jax.random.split(state.rng)
@@ -129,11 +132,21 @@ def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
     k = train_cfg.grad_accum
     vq_cfg = model_cfg.ctvit
 
+    # MoE CT-ViT: the load-balance aux is computed PER MICROBATCH and
+    # averaged — each microbatch is its own dispatch group, exactly the
+    # GShard local-group aux. Because aux = E*sum_e(me_e * ce_e) is quadratic
+    # in batch statistics, this differs from the single-pass full-batch aux
+    # at O(within-batch routing variance) scale (~1e-3 observed on random
+    # inits, i.e. ~1e-5 on the loss at the default 0.01 weight). The routed
+    # FF path itself remains exactly equal to single-pass (pinned with
+    # aux weight 0 in tests/test_moe.py).
+    moe = vq_cfg.moe_experts > 0 and train_cfg.moe_aux_weight > 0.0
+
     def micro_latents(params, img_i, tok_i, rng_i):
-        """One microbatch forward -> (fp32 latents, VQ stats). freeze_vq=True
-        so every microbatch looks up the step's ORIGINAL codebook, exactly
-        like the single vq_apply over the full batch (lookup precedes the
-        EMA write there too)."""
+        """One microbatch forward -> (fp32 latents, moe aux, VQ stats).
+        freeze_vq=True so every microbatch looks up the step's ORIGINAL
+        codebook, exactly like the single vq_apply over the full batch
+        (lookup precedes the EMA write there too)."""
         _, r_text, r_img = jax.random.split(rng_i, 3)  # mirrors ctclip_apply
         taps = Taps(capture=("vq.input",))
         img_lat, vit_out = encode_image_latents(
@@ -146,8 +159,9 @@ def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
         flat = vq_stats_input(taps.collected["vq.input"], dim)
         counts, embed_sum = vq_batch_stats(
             vit_out.codebook_ids.reshape(-1), flat, vq_cfg.codebook_size)
+        aux = vit_out.moe_aux if moe else jnp.zeros((), jnp.float32)
         return (img_lat.astype(jnp.float32), txt_lat.astype(jnp.float32),
-                counts, embed_sum)
+                aux, counts, embed_sum)
 
     def loss_from_latents(temperature, img_lat, txt_lat):
         sim = (img_lat @ txt_lat.T) * jnp.exp(temperature)
@@ -169,14 +183,15 @@ def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
 
         # pass 1: latents + VQ stats, activations discarded per microbatch
         def p1(carry, inp):
-            counts_c, esum_c = carry
+            counts_c, esum_c, aux_c = carry
             img_i, tok_i, rng_i = inp
-            il, tl, counts, esum = micro_latents(params, img_i, tok_i, rng_i)
-            return (counts_c + counts, esum_c + esum), (il, tl)
+            il, tl, aux, counts, esum = micro_latents(params, img_i, tok_i, rng_i)
+            return (counts_c + counts, esum_c + esum, aux_c + aux), (il, tl)
 
         vq0 = params["visual_transformer"]["vq"]
-        stats0 = (jnp.zeros_like(vq0.cluster_size), jnp.zeros_like(vq0.embed_avg))
-        (counts, esum), (ils, tls) = jax.lax.scan(
+        stats0 = (jnp.zeros_like(vq0.cluster_size),
+                  jnp.zeros_like(vq0.embed_avg), jnp.zeros((), jnp.float32))
+        (counts, esum, aux_sum), (ils, tls) = jax.lax.scan(
             p1, stats0, (imgs, toks, rngs))
         img_lat = ils.reshape(b, -1)
         txt_lat = tls.reshape(b, -1)
@@ -185,19 +200,24 @@ def make_train_step_gradcache(model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
         loss, (g_temp, g_il, g_tl) = jax.value_and_grad(
             loss_from_latents, argnums=(0, 1, 2))(
                 params["temperature"], img_lat, txt_lat)
+        if moe:
+            loss = loss + train_cfg.moe_aux_weight * aux_sum / k
         g_ils = g_il.reshape(k, m, -1)
         g_tls = g_tl.reshape(k, m, -1)
 
-        # pass 2: per-microbatch VJP, grads accumulated in the carry
+        # pass 2: per-microbatch VJP, grads accumulated in the carry; the
+        # aux cotangent is its loss weight / k (mean over microbatches)
+        g_aux = jnp.asarray(train_cfg.moe_aux_weight / k, jnp.float32)
+
         def p2(grads_c, inp):
             img_i, tok_i, rng_i, gil_i, gtl_i = inp
 
             def f(p):
-                il, tl, _, _ = micro_latents(p, img_i, tok_i, rng_i)
-                return il, tl
+                il, tl, aux, _, _ = micro_latents(p, img_i, tok_i, rng_i)
+                return (il, tl, aux) if moe else (il, tl)
 
             _, vjp_fn = jax.vjp(f, params)
-            (g,) = vjp_fn((gil_i, gtl_i))
+            (g,) = vjp_fn((gil_i, gtl_i, g_aux) if moe else (gil_i, gtl_i))
             return jax.tree.map(jnp.add, grads_c, g), None
 
         zeros = jax.tree.map(jnp.zeros_like, params)

@@ -16,6 +16,9 @@ single-process test — actually execute here:
                                             process-spanning shardings)
   * parallel/sp_encoder                    (ring + PEG-halo ppermutes across
                                             a process-spanning "model" axis)
+  * parallel/moe                           (GShard dispatch/combine einsums
+                                            over a process-spanning expert
+                                            axis — cross-host all-to-alls)
 
 This is the reference's entire deployment mode (NCCL DDP,
 reference CTClipTrainer.py:62-69, CTClipInference.py:59) recreated on the
@@ -198,6 +201,38 @@ def main() -> None:
     sp_np = np.asarray(jax.device_get(sp))
     np.testing.assert_allclose(sp_np, dense, atol=2e-5, rtol=2e-5)
     result["sp_err"] = float(np.abs(sp_np - dense).max())
+
+    # ---- expert-parallel MoE FF with a CROSS-PROCESS expert axis ---------
+    # experts shard over the same process-spanning "model" axis, so the
+    # GShard dispatch/combine einsums (parallel/moe.py) lower to REAL
+    # cross-host all-to-alls; identical experts + drop-free capacity must
+    # reproduce the dense GEGLU FF
+    from ct_clip_ut_tpu.ops.layers import feedforward, init_feedforward
+    from ct_clip_ut_tpu.parallel.moe import init_moe_ff, moe_feedforward
+    from ct_clip_ut_tpu.parallel.sharding import param_specs
+
+    n_exp = 4
+    moe_p = init_moe_ff(jax.random.PRNGKey(11), 16, 24, n_exp)
+    dense_p = init_feedforward(jax.random.PRNGKey(12), 16, 24)
+    moe_p["norm"] = dense_p["norm"]
+    moe_p["experts"] = {
+        "w_in": np.broadcast_to(np.asarray(dense_p["proj_in"]["w"]),
+                                (n_exp, 16, 48)).copy(),
+        "w_out": np.broadcast_to(np.asarray(dense_p["proj_out"]["w"]),
+                                 (n_exp, 24, 16)).copy(),
+    }
+    xs_moe = rs.randn(8, 6, 16).astype(np.float32)
+    dense_ff = np.asarray(feedforward(dense_p, jnp.asarray(xs_moe)))
+
+    moe_np = jax.tree_util.tree_map(np.asarray, moe_p)
+    moe_g = jax.tree_util.tree_map(gput, moe_np, param_specs(moe_np))
+    x_g = gput(xs_moe, P("data"))
+    ep_out, ep_aux = jax.jit(lambda p, x: moe_feedforward(
+        p, x, top_k=2, capacity_factor=float(n_exp)))(moe_g, x_g)
+    ep_np = np.asarray(jax.device_get(ep_out))
+    np.testing.assert_allclose(ep_np, dense_ff, atol=2e-5, rtol=2e-5)
+    assert np.isfinite(float(jax.device_get(ep_aux)))
+    result["ep_err"] = float(np.abs(ep_np - dense_ff).max())
 
     with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as f:
         json.dump(result, f)

@@ -13,9 +13,16 @@ def test_train_parser():
         "--train-reports", "r.csv", "--valid-reports", "v.csv",
         "--valid-labels", "l.csv", "--train-metadata", "m.csv",
         "--valid-metadata", "vm.csv", "--batch-size", "8",
-        "--num-epochs", "15", "--save-best-model"])
+        "--num-epochs", "15", "--save-best-model",
+        "--moe-experts", "8", "--moe-aux-weight", "0.02"])
     assert args.batch_size == 8 and args.save_best_model
     assert args.lr == 1.25e-5 and args.wd == 0.0  # reference defaults
+    assert args.moe_experts == 8 and args.moe_aux_weight == 0.02
+    # dense reference-parity model by default
+    assert train_ctclip.build_parser().parse_args([
+        "--data-train", "t", "--data-valid", "v", "--train-reports", "r",
+        "--valid-reports", "vr", "--valid-labels", "l",
+        "--train-metadata", "m", "--valid-metadata", "vm"]).moe_experts == 0
 
 
 def test_train_rejects_indivisible_grad_accum():

@@ -81,6 +81,15 @@ def test_two_process_sp_encoder_matches_dense(worker_results):
     assert r0["sp_err"] < 2e-5 and r1["sp_err"] < 2e-5
 
 
+def test_two_process_ep_moe_matches_dense(worker_results):
+    """The MoE FF with its expert axis spanning both processes (GShard
+    dispatch/combine einsums lowering to cross-host all-to-alls) reproduced
+    the dense GEGLU FF inside each worker (asserted there at 2e-5)."""
+    r0, r1 = worker_results
+    assert "ep_err" in r0 and "ep_err" in r1
+    assert r0["ep_err"] < 2e-5 and r1["ep_err"] < 2e-5
+
+
 def test_two_process_orbax_collective_checkpoint(worker_results):
     """Both processes participated in the collective orbax save (per-process
     shard writes, no rank gate) and restored their own addressable shards
