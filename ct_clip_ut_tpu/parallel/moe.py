@@ -58,61 +58,85 @@ def init_moe_ff(key, dim: int, inner_dim: int, n_experts: int):
     }
 
 
+def _default_group_size(n: int, cap: int = 512) -> int:
+    """Largest divisor of n that is <= cap: the dispatch group defaults to
+    one batch row (standard GShard grouping) unless the row is long, in
+    which case it splits into equal sub-rows to bound dispatch memory."""
+    if n <= cap:
+        return n
+    for g in range(cap, 0, -1):
+        if n % g == 0:
+            return g
+    return n  # unreachable (g=1 always divides)
+
+
 def moe_feedforward(params, x: Array, *, top_k: int = 2,
                     capacity_factor: float = 2.0,
                     normalize_gates: bool = True,
                     residual: bool = False,
                     rng: Optional[Array] = None,
                     deterministic: bool = True,
-                    dropout_rate: float = 0.0) -> Tuple[Array, Array]:
+                    dropout_rate: float = 0.0,
+                    group_size: Optional[int] = None) -> Tuple[Array, Array]:
     """[b, n, d] -> ([b, n, d], aux_loss scalar).
 
-    Tokens pick their top_k experts by router softmax; each expert processes
-    at most capacity = ceil(top_k * tokens * capacity_factor / E) tokens
-    (earlier tokens win slots, GShard priority). Gates over the chosen
-    experts are renormalized (normalize_gates) so a capacity-sufficient MoE
-    with identical experts reproduces the dense FF exactly — pinned by
+    Tokens route in GROUPS of `group_size` (default: one batch row, split to
+    <= 512 tokens): each group independently picks top_k experts per token,
+    with per-group capacity C = ceil(top_k * group_size * capacity_factor /
+    E) (earlier tokens win slots, GShard priority). Grouping bounds the
+    dispatch tensors to [groups, S, E, C] ~ tokens * S * top_k * cf elements
+    — without it the single-group construction is O(tokens^2) and unusable
+    at CT-ViT's 1e5-token spatial stack. Gates over the chosen experts are
+    renormalized (normalize_gates) so a capacity-sufficient MoE with
+    identical experts reproduces the dense FF exactly — pinned by
     tests/test_moe.py."""
     b, n, d = x.shape
-    t = b * n
     w_in = params["experts"]["w_in"]
     w_out = params["experts"]["w_out"]
     n_experts = w_in.shape[0]
     top_k = min(top_k, n_experts)
-    capacity = int(-(-top_k * t * capacity_factor // n_experts))
+    gs = group_size or _default_group_size(n)
+    t = b * n
+    assert t % gs == 0, (
+        f"token count {t} (= {b} x {n}) not divisible by group_size {gs}")
+    g = t // gs
+    capacity = max(1, int(-(-top_k * gs * capacity_factor // n_experts)))
 
-    h = layernorm(params["norm"], x).reshape(t, d)
+    h = layernorm(params["norm"], x).reshape(g, gs, d)
 
     # --- routing (fp32) ---
-    logits = h.astype(jnp.float32) @ params["router"]["w"]        # [t, E]
+    logits = h.astype(jnp.float32) @ params["router"]["w"]        # [g, s, E]
     probs = jax.nn.softmax(logits, axis=-1)
-    gate_vals, gate_idx = jax.lax.top_k(probs, top_k)             # [t, k]
+    gate_vals, gate_idx = jax.lax.top_k(probs, top_k)             # [g, s, k]
     if normalize_gates:
         gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
 
-    # --- static-shape dispatch/combine construction ---
-    # slot j of every token claims a position in its expert's capacity buffer;
-    # positions count tokens-then-slots so slot 0 (the top choice) has
-    # priority over slot 1 at equal token index.
-    dispatch = jnp.zeros((t, n_experts, capacity), h.dtype)
-    combine = jnp.zeros((t, n_experts, capacity), jnp.float32)
-    counts = jnp.zeros((n_experts,), jnp.int32)
+    # --- static-shape dispatch/combine construction (per group) ---
+    # slot j of every token claims a position in its expert's capacity
+    # buffer; positions count tokens-then-slots so slot 0 (the top choice)
+    # has priority over slot 1 at equal token index.
+    dispatch = jnp.zeros((g, gs, n_experts, capacity), h.dtype)
+    combine = jnp.zeros((g, gs, n_experts, capacity), jnp.float32)
+    counts = jnp.zeros((g, n_experts), jnp.int32)
     for j in range(top_k):
-        e_oh = jax.nn.one_hot(gate_idx[:, j], n_experts, dtype=jnp.int32)
-        # position of each token within its chosen expert's buffer
-        pos_in_e = counts[None, :] + jnp.cumsum(e_oh, axis=0) - e_oh  # [t, E]
-        pos = jnp.sum(pos_in_e * e_oh, axis=1)                        # [t]
+        e_oh = jax.nn.one_hot(gate_idx[..., j], n_experts,
+                              dtype=jnp.int32)                    # [g, s, E]
+        # position of each token within its chosen expert's group buffer
+        pos_in_e = counts[:, None, :] + jnp.cumsum(e_oh, axis=1) - e_oh
+        pos = jnp.sum(pos_in_e * e_oh, axis=-1)                   # [g, s]
         keep = pos < capacity
         slot = jax.nn.one_hot(pos, capacity, dtype=h.dtype) \
-            * keep[:, None].astype(h.dtype)                           # [t, C]
-        d_j = e_oh.astype(h.dtype)[:, :, None] * slot[:, None, :]     # [t,E,C]
+            * keep[..., None].astype(h.dtype)                     # [g, s, C]
+        d_j = e_oh.astype(h.dtype)[..., None] * slot[..., None, :]
         dispatch = dispatch + d_j
-        combine = combine + d_j.astype(jnp.float32) * gate_vals[:, j][:, None, None]
-        counts = counts + jnp.sum(e_oh * keep[:, None].astype(jnp.int32), axis=0)
+        combine = combine + (d_j.astype(jnp.float32)
+                             * gate_vals[..., j][..., None, None])
+        counts = counts + jnp.sum(
+            e_oh * keep[..., None].astype(jnp.int32), axis=1)
 
     # --- expert computation (all MXU einsums; E axis model-sharded) ---
-    expert_in = jnp.einsum("tec,td->ecd", dispatch, h)            # all-to-all
-    hidden = jnp.einsum("ecd,edf->ecf", expert_in, w_in.astype(h.dtype))
+    expert_in = jnp.einsum("gsec,gsd->egcd", dispatch, h)         # all-to-all
+    hidden = jnp.einsum("egcd,edf->egcf", expert_in, w_in.astype(h.dtype))
     value, gate = jnp.split(hidden, 2, axis=-1)
     act = jax.nn.gelu(gate.astype(jnp.float32),
                       approximate=False).astype(h.dtype) * value
@@ -120,14 +144,14 @@ def moe_feedforward(params, x: Array, *, top_k: int = 2,
         keep_p = 1.0 - dropout_rate
         mask = jax.random.bernoulli(rng, keep_p, act.shape)
         act = jnp.where(mask, act / keep_p, 0.0).astype(act.dtype)
-    expert_out = jnp.einsum("ecf,efd->ecd", act, w_out.astype(h.dtype))
-    out = jnp.einsum("tec,ecd->td", combine.astype(h.dtype), expert_out)
+    expert_out = jnp.einsum("egcf,efd->egcd", act, w_out.astype(h.dtype))
+    out = jnp.einsum("gsec,egcd->gsd", combine.astype(h.dtype), expert_out)
     out = out.reshape(b, n, d).astype(x.dtype)
 
-    # --- GShard load-balance aux loss ---
-    me = jnp.mean(probs, axis=0)                                   # [E]
-    top1 = jax.nn.one_hot(gate_idx[:, 0], n_experts, dtype=jnp.float32)
-    ce = jnp.mean(top1, axis=0)                                    # [E]
+    # --- GShard load-balance aux loss (global over all tokens) ---
+    me = jnp.mean(probs, axis=(0, 1))                              # [E]
+    top1 = jax.nn.one_hot(gate_idx[..., 0], n_experts, dtype=jnp.float32)
+    ce = jnp.mean(top1, axis=(0, 1))                               # [E]
     aux = n_experts * jnp.sum(me * ce)
 
     return (out + x if residual else out), aux

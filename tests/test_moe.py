@@ -42,11 +42,16 @@ def test_identical_experts_match_dense_ff():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, DIM))
     want = feedforward(dense, x)
     for top_k in (1, 2):
-        got, aux = moe_feedforward(moe, x, top_k=top_k,
-                                   capacity_factor=float(E))
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=1e-5, rtol=1e-5)
-        assert np.isfinite(float(aux))
+        # group_size: default (one row), sub-row groups, multi-row groups —
+        # all drop-free groupings must reproduce the dense FF
+        for gs in (None, 4, 6, 24):
+            got, aux = moe_feedforward(moe, x, top_k=top_k,
+                                       capacity_factor=float(E),
+                                       group_size=gs)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"top_k={top_k} gs={gs}")
+            assert np.isfinite(float(aux))
 
 
 def test_ep_sharded_matches_single_device():
