@@ -305,6 +305,12 @@ class TrainConfig:
     # weight on the MoE load-balance aux loss (only read when the model has
     # ctvit.moe_experts > 0; the GShard paper's default scale)
     moe_aux_weight: float = 0.01
+    # Fully-sharded data parallelism (ZeRO-3 semantics via GSPMD): params,
+    # grads, and Adam moments live sharded over the "data" mesh axis at
+    # rest; XLA all-gathers weights where the step needs them and
+    # reduce-scatters grads back to the shards. Composes with the "model"
+    # (TP) axis. Step math is identical to plain DP (tests/test_fsdp.py).
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)

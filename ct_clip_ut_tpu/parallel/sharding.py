@@ -54,9 +54,60 @@ def param_specs(params) -> Any:
     return jax.tree_util.tree_map_with_path(_spec_for, params)
 
 
-def param_shardings(params, mesh: Mesh) -> Any:
-    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
-                        param_specs(params))
+# Leaves smaller than this stay replicated under FSDP: sharding a 512-float
+# layernorm scale saves nothing and costs a collective per use.
+_FSDP_MIN_SIZE = 2 ** 15
+
+
+def _fsdp_spec_for(path, leaf, data_size: int) -> P:
+    """TP spec (_spec_for) + "data" on the largest still-unsharded dim that
+    divides the data axis — params, grads, and Adam moments all live sharded
+    at rest (ZeRO-3 semantics); GSPMD all-gathers weights where the forward
+    needs them and reduce-scatters grads back to the shards."""
+    spec = _spec_for(path, leaf)
+    # module global (not a default arg) so tests can monkeypatch it down
+    if leaf.ndim == 0 or leaf.size < _FSDP_MIN_SIZE or data_size <= 1:
+        return spec
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    best = None
+    for i, (e, d) in enumerate(zip(entries, leaf.shape)):
+        if e is None and d % data_size == 0 and (
+                best is None or d > leaf.shape[best]):
+            best = i
+    if best is None:
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
+def fsdp_param_specs(params, data_size: int) -> Any:
+    """PartitionSpec pytree for fully-sharded data parallelism."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: _fsdp_spec_for(p, l, data_size), params)
+
+
+def opt_state_specs(opt_state, *, fsdp_data_size: int = 0) -> Any:
+    """PartitionSpec pytree matching an optax state. Adam's mu/nu subtrees
+    mirror the param tree, so the last two path components of every moment
+    leaf are exactly the (parent, name) keys the param rule matches on —
+    moments follow their param's sharding; scalars (count) replicate."""
+    if fsdp_data_size > 1:
+        rule = lambda p, l: _fsdp_spec_for(p, l, fsdp_data_size)
+    else:
+        rule = _spec_for
+    return jax.tree_util.tree_map_with_path(rule, opt_state)
+
+
+def param_shardings(params, mesh: Mesh, *, fsdp: bool = False) -> Any:
+    specs = (fsdp_param_specs(params, mesh.shape["data"]) if fsdp
+             else param_specs(params))
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec), specs)
+
+
+def opt_state_shardings(opt_state, mesh: Mesh, *, fsdp: bool = False) -> Any:
+    specs = opt_state_specs(
+        opt_state, fsdp_data_size=mesh.shape["data"] if fsdp else 0)
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec), specs)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -72,9 +123,9 @@ def batch_shardings(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, batch_specs())
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, *, fsdp: bool = False):
     """Place a (host-resident) param pytree onto the mesh."""
-    return jax.device_put(params, param_shardings(params, mesh))
+    return jax.device_put(params, param_shardings(params, mesh, fsdp=fsdp))
 
 
 def shard_batch(batch, mesh: Mesh):

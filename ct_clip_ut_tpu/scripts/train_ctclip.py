@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh axis size; data*model must "
                         "equal the device count")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism: params, grads, and "
+                        "Adam moments shard over the 'data' mesh axis at "
+                        "rest (ZeRO-3 semantics via GSPMD); composes with "
+                        "--mesh-model")
     return p
 
 
@@ -123,7 +128,7 @@ def main(argv=None):
         num_valid_samples=args.num_valid_samples,
         save_best_model=args.save_best_model, seed=args.seed,
         sharded_checkpoints=args.sharded_checkpoints,
-        moe_aux_weight=args.moe_aux_weight)
+        moe_aux_weight=args.moe_aux_weight, fsdp=args.fsdp)
 
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 

@@ -276,10 +276,16 @@ class CTClipTrainer:
         key = jax.random.PRNGKey(train_cfg.seed)
         self.state, self.tx = create_train_state(key, model_cfg, train_cfg,
                                                  params=params)
+        # opt state follows the params' layout (Adam moments of a sharded
+        # param are sharded the same way); with train_cfg.fsdp both also
+        # shard over "data" — ZeRO-3 at rest, GSPMD collectives in the step
         self.state = self.state._replace(
-            params=sharding.shard_params(self.state.params, self.mesh),
-            opt_state=jax.device_put(self.state.opt_state,
-                                     sharding.replicated(self.mesh)))
+            params=sharding.shard_params(self.state.params, self.mesh,
+                                         fsdp=train_cfg.fsdp),
+            opt_state=jax.device_put(
+                self.state.opt_state,
+                sharding.opt_state_shardings(self.state.opt_state, self.mesh,
+                                             fsdp=train_cfg.fsdp)))
         self.train_step = make_train_step(model_cfg, train_cfg, self.tx)
         self.eval_step = make_eval_step(model_cfg, train_cfg)
 
