@@ -411,16 +411,21 @@ def _replay_last_ledger_run(reason: str) -> bool:
     try:
         with open(path) as f:
             lines = [ln for ln in f.read().splitlines() if ln.strip()]
-        rec = json.loads(lines[-1])
+        for ln in reversed(lines):
+            rec = json.loads(ln)
+            run = rec["run"]
+            # never replay a recorded kernel-parity FAILURE as a green run
+            if run.get("extra", {}).get("kernel_parity_ok") is False:
+                continue
+            run.setdefault("extra", {})
+            run["extra"]["stale"] = True
+            run["extra"]["stale_measured_at"] = rec.get("ts")
+            run["extra"]["stale_reason"] = reason
+            print(json.dumps(run))
+            return True
     except Exception:
-        return False
-    run = rec["run"]
-    run.setdefault("extra", {})
-    run["extra"]["stale"] = True
-    run["extra"]["stale_measured_at"] = rec.get("ts")
-    run["extra"]["stale_reason"] = reason
-    print(json.dumps(run))
-    return True
+        pass
+    return False
 
 
 def main() -> None:

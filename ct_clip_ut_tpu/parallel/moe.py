@@ -95,7 +95,8 @@ def moe_feedforward(params, x: Array, *, top_k: int = 2,
     w_out = params["experts"]["w_out"]
     n_experts = w_in.shape[0]
     top_k = min(top_k, n_experts)
-    gs = group_size or _default_group_size(n)
+    gs = group_size if group_size is not None else _default_group_size(n)
+    assert gs > 0, f"group_size must be positive, got {group_size}"
     t = b * n
     assert t % gs == 0, (
         f"token count {t} (= {b} x {n}) not divisible by group_size {gs}")

@@ -59,6 +59,18 @@ def create_train_state(key, model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
     return state, tx
 
 
+def shard_train_state(state: TrainState, mesh, *, fsdp: bool = False) -> TrainState:
+    """Place a host-resident TrainState onto the mesh: params by the TP (+
+    optional FSDP) rules, Adam moments following their param's placement
+    (parallel/sharding.py). The single authority for state placement —
+    trainer, dryrun, and tests all go through here."""
+    return state._replace(
+        params=sharding.shard_params(state.params, mesh, fsdp=fsdp),
+        opt_state=jax.device_put(
+            state.opt_state,
+            sharding.opt_state_shardings(state.opt_state, mesh, fsdp=fsdp)))
+
+
 def _write_back_vq(params, vq_state):
     new_vis = dict(params["visual_transformer"])
     new_vis["vq"] = vq_state
@@ -276,16 +288,21 @@ class CTClipTrainer:
         key = jax.random.PRNGKey(train_cfg.seed)
         self.state, self.tx = create_train_state(key, model_cfg, train_cfg,
                                                  params=params)
+        if (train_cfg.fsdp and not train_cfg.sharded_checkpoints
+                and jax.process_count() > 1):
+            # msgpack save gathers the full state onto process 0 —
+            # np.asarray on a non-fully-addressable FSDP array raises at the
+            # FIRST save, hours into training. Refuse up front instead.
+            raise ValueError(
+                "fsdp=True in a multi-process run requires "
+                "sharded_checkpoints=True (--sharded-checkpoints): the "
+                "msgpack checkpoint path cannot gather params that no "
+                "single process holds")
         # opt state follows the params' layout (Adam moments of a sharded
         # param are sharded the same way); with train_cfg.fsdp both also
         # shard over "data" — ZeRO-3 at rest, GSPMD collectives in the step
-        self.state = self.state._replace(
-            params=sharding.shard_params(self.state.params, self.mesh,
-                                         fsdp=train_cfg.fsdp),
-            opt_state=jax.device_put(
-                self.state.opt_state,
-                sharding.opt_state_shardings(self.state.opt_state, self.mesh,
-                                             fsdp=train_cfg.fsdp)))
+        self.state = shard_train_state(self.state, self.mesh,
+                                       fsdp=train_cfg.fsdp)
         self.train_step = make_train_step(model_cfg, train_cfg, self.tx)
         self.eval_step = make_eval_step(model_cfg, train_cfg)
 
@@ -382,7 +399,12 @@ class CTClipTrainer:
         if self.cfg.sharded_checkpoints:
             self.state = ckpt.load_checkpoint_sharded(path, self.state)
         else:
-            self.state = ckpt.load_checkpoint(path, self.state)
+            # from_bytes returns host numpy leaves — re-place them on the
+            # live state's shardings, or a restored TP/FSDP run would
+            # silently continue with replicated params
+            shardings = jax.tree.map(lambda x: x.sharding, self.state)
+            restored = ckpt.load_checkpoint(path, self.state)
+            self.state = jax.device_put(restored, shardings)
 
     # -- loops --------------------------------------------------------------
 

@@ -95,12 +95,7 @@ def test_fsdp_specs_shard_flagship_params_without_allocating():
 
 def _fsdp_state(mesh, train_cfg):
     state, tx = trainer_mod.create_train_state(KEY, SMALL_CLIP, train_cfg)
-    state = state._replace(
-        params=sharding.shard_params(state.params, mesh, fsdp=True),
-        opt_state=jax.device_put(
-            state.opt_state,
-            sharding.opt_state_shardings(state.opt_state, mesh, fsdp=True)))
-    return state, tx
+    return trainer_mod.shard_train_state(state, mesh, fsdp=True), tx
 
 
 def test_fsdp_train_step_matches_unsharded(tiny_fsdp):
@@ -176,6 +171,36 @@ def test_fsdp_gradcache_matches_single_pass(tiny_fsdp):
     _, loss = step_gc(state, img_s, tok_s)
     np.testing.assert_allclose(float(loss), float(ref_loss),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_msgpack_load_restores_fsdp_sharding(tiny_fsdp, tmp_path):
+    """flax from_bytes returns host numpy leaves; load_model must re-place
+    them on the live state's shardings or a restored FSDP/TP run silently
+    continues replicated."""
+    trainer = trainer_mod.CTClipTrainer(
+        SMALL_CLIP, TRAIN, tokenizer=None, train_data=[], valid_data=[],
+        results_folder=str(tmp_path))
+    w = trainer.state.params["to_visual_latent"]["w"]
+    spec0 = tuple(w.sharding.spec)
+    assert "data" in spec0   # fsdp actually sharded it
+    from ct_clip_ut_tpu.train import checkpoint as ckpt
+    ckpt.save_checkpoint(tmp_path / "ckpt.msgpack", trainer.state)
+    trainer.load_model(tmp_path / "ckpt.msgpack")
+    w1 = trainer.state.params["to_visual_latent"]["w"]
+    assert tuple(w1.sharding.spec) == spec0, (spec0, tuple(w1.sharding.spec))
+    np.testing.assert_array_equal(np.asarray(w1, np.float32),
+                                  np.asarray(w, np.float32))
+
+
+def test_fsdp_multiprocess_requires_sharded_checkpoints(monkeypatch):
+    """msgpack saves gather the full state onto process 0 — impossible when
+    FSDP means no process holds every shard. The trainer must refuse at
+    construction, not crash at the first epoch-end save."""
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="sharded_checkpoints"):
+        trainer_mod.CTClipTrainer(
+            SMALL_CLIP, TRAIN, tokenizer=None, train_data=[], valid_data=[],
+            results_folder="/tmp/fsdp_guard_test")
 
 
 def test_cli_fsdp_flag():
