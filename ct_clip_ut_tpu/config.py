@@ -305,6 +305,15 @@ class TrainConfig:
     # weight on the MoE load-balance aux loss (only read when the model has
     # ctvit.moe_experts > 0; the GShard paper's default scale)
     moe_aux_weight: float = 0.01
+    # LR schedule (both 0 = the reference's constant lr): linear warmup to
+    # lr over warmup_steps, then cosine decay over decay_steps down to
+    # lr * end_lr_frac (train/optimizer.make_lr_schedule)
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    end_lr_frac: float = 0.0
+    # store Adam's first moment in this dtype (e.g. "bfloat16" halves its
+    # HBM footprint; nu stays fp32). None = fp32, the reference behavior.
+    adam_mu_dtype: Optional[str] = None
     # Fully-sharded data parallelism (ZeRO-3 semantics via GSPMD): params,
     # grads, and Adam moments live sharded over the "data" mesh axis at
     # rest; XLA all-gathers weights where the step needs them and

@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh axis size; data*model must "
                         "equal the device count")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear lr warmup steps (0 = constant lr, the "
+                        "reference schedule)")
+    p.add_argument("--decay-steps", type=int, default=0,
+                   help="cosine lr decay steps after warmup (0 = none)")
+    p.add_argument("--end-lr-frac", type=float, default=0.0,
+                   help="cosine decay floor as a fraction of --lr")
+    p.add_argument("--adam-mu-dtype", default=None,
+                   help="dtype for Adam's first moment (e.g. bfloat16 to "
+                        "halve its HBM footprint); default fp32")
     p.add_argument("--fsdp", action="store_true",
                    help="fully-sharded data parallelism: params, grads, and "
                         "Adam moments shard over the 'data' mesh axis at "
@@ -128,7 +138,9 @@ def main(argv=None):
         num_valid_samples=args.num_valid_samples,
         save_best_model=args.save_best_model, seed=args.seed,
         sharded_checkpoints=args.sharded_checkpoints,
-        moe_aux_weight=args.moe_aux_weight, fsdp=args.fsdp)
+        moe_aux_weight=args.moe_aux_weight, fsdp=args.fsdp,
+        warmup_steps=args.warmup_steps, decay_steps=args.decay_steps,
+        end_lr_frac=args.end_lr_frac, adam_mu_dtype=args.adam_mu_dtype)
 
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 

@@ -48,7 +48,11 @@ class TrainState(NamedTuple):
 def create_train_state(key, model_cfg: CTCLIPConfig, train_cfg: TrainConfig,
                        params=None) -> tuple[TrainState, optax.GradientTransformation]:
     tx = get_optimizer(lr=train_cfg.lr, wd=train_cfg.wd, betas=train_cfg.betas,
-                       eps=train_cfg.eps, max_grad_norm=train_cfg.max_grad_norm)
+                       eps=train_cfg.eps, max_grad_norm=train_cfg.max_grad_norm,
+                       warmup_steps=train_cfg.warmup_steps,
+                       decay_steps=train_cfg.decay_steps,
+                       end_lr_frac=train_cfg.end_lr_frac,
+                       mu_dtype=train_cfg.adam_mu_dtype)
     if params is None:
         params = init_ctclip(key, model_cfg)
     # fold_in gives the state its own key buffer: train_step donates the
@@ -399,12 +403,20 @@ class CTClipTrainer:
         if self.cfg.sharded_checkpoints:
             self.state = ckpt.load_checkpoint_sharded(path, self.state)
         else:
-            # from_bytes returns host numpy leaves — re-place them on the
+            # from_bytes returns host numpy leaves — re-place the
+            # mesh-sharded ones (NamedSharding: params, opt state) on the
             # live state's shardings, or a restored TP/FSDP run would
-            # silently continue with replicated params
-            shardings = jax.tree.map(lambda x: x.sharding, self.state)
+            # silently continue with replicated params. Scalars (step, rng)
+            # stay uncommitted so jit places them freely.
             restored = ckpt.load_checkpoint(path, self.state)
-            self.state = jax.device_put(restored, shardings)
+
+            def replace(r, live):
+                s = getattr(live, "sharding", None)
+                if isinstance(s, jax.sharding.NamedSharding):
+                    return jax.device_put(r, s)
+                return r
+
+            self.state = jax.tree.map(replace, restored, self.state)
 
     # -- loops --------------------------------------------------------------
 

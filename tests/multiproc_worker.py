@@ -154,6 +154,43 @@ def main() -> None:
     result["orbax_roundtrip_ok"] = True
     trainer.cfg = cfg
 
+    # ---- FSDP over the PROCESS-SPANNING data axis ------------------------
+    # params + Adam moments shard over "data" (8 devices, 4 per process), so
+    # every leaf's shards live on BOTH hosts; the step's weight all-gathers
+    # and grad reduce-scatters are real cross-host collectives. Same seed +
+    # same batch as the plain trainer above -> the loss must be identical.
+    from ct_clip_ut_tpu.parallel import sharding as shard_mod
+    fsdp_cfg = dataclasses.replace(cfg, fsdp=True, sharded_checkpoints=True)
+    old_min = shard_mod._FSDP_MIN_SIZE
+    shard_mod._FSDP_MIN_SIZE = 0   # tiny model: shard every divisible leaf
+    try:
+        ftr = CTClipTrainer(SMALL_CLIP, fsdp_cfg, HashTokenizer(),
+                            train_data=[], valid_data=[],
+                            results_folder=os.path.join(out_dir, "fsdp"))
+        w = ftr.state.params["to_visual_latent"]["w"]
+        assert "data" in tuple(w.sharding.spec), tuple(w.sharding.spec)
+        assert not w.is_fully_addressable  # shards span the two processes
+        fstate, floss = ftr.train_step(ftr.state, img, tok)
+        result["fsdp_train_loss"] = float(floss)
+
+        # collective orbax roundtrip of the FSDP-sharded state
+        ftr.state = fstate
+        ftr.save_model("fsdp_ckpt.orbax")
+        ftr.state = ftr.state._replace(
+            params=jax.tree.map(lambda x: x * 0, ftr.state.params))
+        ftr.load_model(ftr.results_folder / "fsdp_ckpt.orbax")
+        w2 = ftr.state.params["to_visual_latent"]["w"]
+        assert tuple(w2.sharding.spec) == tuple(
+            fstate.params["to_visual_latent"]["w"].sharding.spec)
+        for a, b in zip(
+                fstate.params["to_visual_latent"]["w"].addressable_shards,
+                w2.addressable_shards):
+            np.testing.assert_array_equal(np.asarray(a.data),
+                                          np.asarray(b.data))
+        result["fsdp_orbax_roundtrip_ok"] = True
+    finally:
+        shard_mod._FSDP_MIN_SIZE = old_min
+
     # ---- sharded zero-shot eval over the 2-process mesh -----------------
     mesh = make_mesh()
     ids = (np.arange(36 * 16).reshape(36, 16) % 256).astype(np.int32)

@@ -98,6 +98,18 @@ def test_two_process_orbax_collective_checkpoint(worker_results):
     assert r0.get("orbax_roundtrip_ok") and r1.get("orbax_roundtrip_ok")
 
 
+def test_two_process_fsdp_step_matches_plain_dp(worker_results):
+    """FSDP over the process-spanning data axis (params + moments sharded
+    across BOTH hosts, real cross-host weight all-gathers / grad
+    reduce-scatters) computes the SAME step as the replicated-DP trainer
+    on the same seed + global batch; the FSDP state also roundtrips
+    through the collective orbax checkpoint (asserted inside each worker)."""
+    r0, r1 = worker_results
+    assert r0["fsdp_train_loss"] == pytest.approx(r0["train_loss"], abs=1e-5)
+    assert r1["fsdp_train_loss"] == pytest.approx(r1["train_loss"], abs=1e-5)
+    assert r0.get("fsdp_orbax_roundtrip_ok") and r1.get("fsdp_orbax_roundtrip_ok")
+
+
 def test_two_process_matches_single_process(worker_results, tmp_path):
     """2-process global-batch loss == 1-process 8-device loss, same batch."""
     from test_trainer_driver import SMALL_CLIP, HashTokenizer
