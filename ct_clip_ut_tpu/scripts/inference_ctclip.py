@@ -41,6 +41,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "window sweep scores every positive pathology "
                         "(requires --diff-embeds; reference "
                         "visualizations.py:1037-1044 re-sweeps per pathology)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize the multi-process JAX runtime before "
+                        "device queries (pod-slice eval)")
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel mesh axis size (default: all devices)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size; data*model must "
+                        "equal the device count")
     p.add_argument("--occlusion-prompt", default="",
                    help="tag recorded in occlusion artifact filenames")
     return p
@@ -57,6 +68,12 @@ def main(argv=None):
         if not args.diff_embeds:
             parser.error("--occlusion-text-embeds requires --diff-embeds")
 
+    # multi-host bring-up must happen before the first jax device query
+    if args.multihost or (args.num_processes or 0) > 1:
+        from ..parallel.mesh import initialize_runtime
+        initialize_runtime(coordinator_address=args.coordinator_address,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
     import jax
     from transformers import BertTokenizer
 
@@ -85,9 +102,13 @@ def main(argv=None):
                           args.valid_metadata, args.valid_labels,
                           num_samples=args.num_valid_samples,
                           cache_dir=args.preprocess_cache)
+    # per-process contiguous-interleaved shards (DistributedSampler pattern,
+    # reference CTClipInference.py:59); single-process this is the identity
     dl = DataLoader(ds, batch_size=args.batch_size,
                     sampler=ShardedSampler(len(ds), shuffle=False,
-                                           drop_last=False),
+                                           drop_last=False,
+                                           num_shards=jax.process_count(),
+                                           shard_index=jax.process_index()),
                     num_workers=args.num_workers, drop_last=False)
 
     diff_embeds = None
@@ -104,12 +125,17 @@ def main(argv=None):
         visualize["occlusion"] = {
             "use_text_embeds": args.occlusion_text_embeds,
             "prompt": args.occlusion_prompt}
+    mesh = None
+    if args.mesh_data is not None or args.mesh_model != 1:
+        from .train_ctclip import make_cli_mesh
+        mesh = make_cli_mesh(args)
     inference = CTClipInference(
         params, model_cfg, tokenizer, dl,
         results_folder=args.results_folder,
         zero_shot=args.zero_shot,
         visualize=visualize,
-        attribution_ctx=ctx)
+        attribution_ctx=ctx,
+        mesh=mesh)
     inference.infer()
 
 

@@ -55,6 +55,22 @@ def test_inference_parser():
     assert args.occlusion_text_embeds and args.occlusion_prompt == "panel"
 
 
+def test_inference_parser_mesh_flags():
+    args = inference_ctclip.build_parser().parse_args([
+        "--data-valid", "/d/v", "--valid-reports", "v.csv",
+        "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
+        "--checkpoint", "ck.pt", "--zero-shot",
+        "--mesh-data", "4", "--mesh-model", "2"])
+    assert args.mesh_data == 4 and args.mesh_model == 2
+    # defaults: no mesh requested -> driver passes mesh=None
+    args = inference_ctclip.build_parser().parse_args([
+        "--data-valid", "/d/v", "--valid-reports", "v.csv",
+        "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
+        "--checkpoint", "ck.pt"])
+    assert args.mesh_data is None and args.mesh_model == 1
+    assert args.num_processes is None and not args.multihost
+
+
 def test_inference_parser_rejects_unknown_method():
     with pytest.raises(SystemExit):
         inference_ctclip.build_parser().parse_args([
