@@ -71,8 +71,10 @@ def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
 
     sum_grads, _ = jax.lax.scan(step, jnp.zeros_like(patches),
                                 (alphas_p, weights_p))
-    avg_grads = sum_grads / steps
+    return _ig_normalize(diff, sum_grads / steps, quantile, contrast)
 
+
+def _ig_normalize(diff, avg_grads, quantile, contrast):
     ig = jax.nn.relu((diff * avg_grads)[0])        # [t, h, w, patch_dim]
 
     # normalization exactly as written in the reference (shift by min,
@@ -83,6 +85,85 @@ def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
     ig = jnp.where(ig >= q, ig, 0.0)
     ig = ig ** contrast                            # 0**0.05 == 0
     return ig / (ig.max() + 1e-8)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "chunk", "mesh",
+                                   "axis_name"))
+def _ig_patch_space_sharded(params, cfg: CTCLIPConfig, text_tokens,
+                            image: Array, text_embeds: Optional[Array],
+                            baseline_value: float, steps: int, chunk: int,
+                            quantile: float, contrast: float, mesh,
+                            axis_name: str):
+    """Mesh-parallel IG: the Riemann steps are independent full
+    forward+backward passes, so the alpha axis shards over `axis_name` —
+    each device scans only its own chunked alphas and the weighted grad
+    sums psum at the end. steps are padded up to a multiple of
+    n_dev * chunk with zero weights, so any (steps, chunk, n_dev) combo
+    matches the serial `_ig_patch_space` EXACTLY (same linspace, same
+    fp32 sums reassociated only across devices). ~n_dev x less wall-clock
+    per map; the reference's 50 sequential backward passes
+    (visualizations.py:861-876) have no such axis."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    image = image.astype(jnp.float32)
+    patches = patchify(image, cfg.ctvit.patch_size,
+                       cfg.ctvit.temporal_patch_size)
+    baseline = jnp.full_like(patches, baseline_value)
+    diff = patches - baseline
+    alphas = jnp.linspace(0.0, 1.0, steps)
+
+    pad = (-steps) % (n_dev * chunk)
+    alphas_p = jnp.pad(alphas, (0, pad)).reshape(n_dev, -1, chunk)
+    weights_p = jnp.pad(jnp.ones((steps,)),
+                        (0, pad)).reshape(n_dev, -1, chunk)
+
+    def device_sum(alphas_d, weights_d, patches_r, baseline_r, diff_r,
+                   params_r, tokens_r, embeds_r):
+        def score(p):
+            s, _ = similarity_score(params_r, cfg, tokens_r, p,
+                                    text_embeds=embeds_r, prepatchified=True)
+            return s
+        grad_fn = jax.grad(score)
+
+        def step_fn(acc, xs):
+            a_chunk, w_chunk = xs
+            g = jax.vmap(lambda a: grad_fn(baseline_r + a * diff_r))(a_chunk)
+            return acc + jnp.tensordot(w_chunk, g, axes=1), None
+
+        sum_g, _ = jax.lax.scan(step_fn, jnp.zeros_like(patches_r),
+                                (alphas_d[0], weights_d[0]))
+        return jax.lax.psum(sum_g, axis_name)
+
+    embeds_spec = P() if text_embeds is not None else None
+    sum_grads = shard_map(
+        device_sum, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P(),
+                  embeds_spec),
+        out_specs=P(),
+        check_vma=False)(alphas_p, weights_p, patches, baseline, diff,
+                         params, text_tokens, text_embeds)
+    return _ig_normalize(diff, sum_grads / steps, quantile, contrast)
+
+
+def integrated_gradients_sharded(params, cfg: CTCLIPConfig, text_tokens,
+                                 image: Array, mesh, *,
+                                 axis_name: str = "data",
+                                 text_embeds: Optional[Array] = None,
+                                 baseline_value: float = 1.0,
+                                 steps: int = 50, chunk: int = 5,
+                                 quantile: float = 0.90,
+                                 contrast: float = 0.05):
+    """[D, H, W] numpy IG saliency with the interpolation steps sharded
+    over `mesh`'s `axis_name` — numerically equal to
+    `integrated_gradients` (tests/test_attribution.py)."""
+    ig = _ig_patch_space_sharded(params, cfg, text_tokens, image,
+                                 text_embeds, baseline_value, steps, chunk,
+                                 quantile, contrast, mesh, axis_name)
+    k = _ig_transport_k(cfg, image.shape, quantile)
+    packed, vals, m = _ig_pack(ig, k)
+    return _ig_densify_np(cfg, image.shape, packed, vals, m, ig)
 
 
 @partial(jax.jit, static_argnames=("k",))

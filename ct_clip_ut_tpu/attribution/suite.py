@@ -39,6 +39,9 @@ class AttributionContext:
     pathologies: Sequence[str] = PATHOLOGIES
     text_max_length: int = 512
     render_gifs: bool = True
+    # optional jax.sharding.Mesh: IG shards its interpolation steps over the
+    # mesh's data axis (integrated_gradients_sharded; ~n_dev x per map)
+    mesh: Any = None
 
 
 class Visualizations:
@@ -95,8 +98,13 @@ class Visualizations:
 
     def integrated_gradients(self, image, text_tokens, labels, scan_name, path,
                              steps: int = 50):
-        sal = ig.integrated_gradients(self.ctx.params, self.ctx.cfg,
-                                      text_tokens, image, steps=steps)
+        if self.ctx.mesh is not None and self.ctx.mesh.shape.get("data", 1) > 1:
+            sal = ig.integrated_gradients_sharded(
+                self.ctx.params, self.ctx.cfg, text_tokens, image,
+                self.ctx.mesh, steps=steps)
+        else:
+            sal = ig.integrated_gradients(self.ctx.params, self.ctx.cfg,
+                                          text_tokens, image, steps=steps)
         self._save_ig_map(sal, image, scan_name)
 
     def _save_ig_map(self, sal, image, scan_name):

@@ -116,19 +116,20 @@ def main(argv=None):
         from ..attribution.embedding_arithmetic import load_diff_embeddings
         diff_embeds = load_diff_embeddings(args.diff_embeds)
 
+    mesh = None
+    if args.mesh_data is not None or args.mesh_model != 1:
+        from .train_ctclip import make_cli_mesh
+        mesh = make_cli_mesh(args)
+
     ctx = AttributionContext(params=params, cfg=model_cfg,
                              tokenizer=tokenizer, data=ds,
-                             diff_embeds=diff_embeds)
+                             diff_embeds=diff_embeds, mesh=mesh)
     visualize = {name: True for name in args.visualize}
     if "occlusion" in visualize and (args.occlusion_text_embeds
                                      or args.occlusion_prompt):
         visualize["occlusion"] = {
             "use_text_embeds": args.occlusion_text_embeds,
             "prompt": args.occlusion_prompt}
-    mesh = None
-    if args.mesh_data is not None or args.mesh_model != 1:
-        from .train_ctclip import make_cli_mesh
-        mesh = make_cli_mesh(args)
     inference = CTClipInference(
         params, model_cfg, tokenizer, dl,
         results_folder=args.results_folder,

@@ -135,6 +135,24 @@ def test_ig_matches_serial_loop(setup):
     np.testing.assert_allclose(np.asarray(got), ig, atol=1e-3)
 
 
+def test_ig_sharded_matches_serial(setup):
+    """Riemann steps sharded over the 8-device data axis == the serial scan
+    (same linspace, fp32 sums reassociated only across devices); also the
+    padded case where steps is not a multiple of n_dev * chunk."""
+    from ct_clip_ut_tpu.config import MeshConfig
+    from ct_clip_ut_tpu.parallel.mesh import make_mesh
+    params, tokens, image = setup
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    for steps, chunk in ((16, 2), (6, 2), (50, 5)):
+        want = ig_mod.integrated_gradients(params, SMALL_CLIP, tokens, image,
+                                           steps=steps, chunk=chunk)
+        got = ig_mod.integrated_gradients_sharded(
+            params, SMALL_CLIP, tokens, image, mesh,
+            steps=steps, chunk=chunk)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5,
+                                   err_msg=f"steps={steps} chunk={chunk}")
+
+
 def test_ig_pack_roundtrip_and_overflow_fallback():
     """_ig_pack + _ig_densify_np reproduce the dense map exactly (f16
     value rounding aside); when the survivor count exceeds the sized
