@@ -16,6 +16,7 @@ Two intent-fixes over the reference's dead code path (SURVEY.md 2.5 #2):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -29,10 +30,14 @@ Array = jax.Array
 
 
 class CTGenerateOutput(NamedTuple):
-    feature_map: Array                  # [1, n, dim] maskgit embeddings
-    kw_attention: Dict[str, Array]      # keyword -> [1, heads, n, n_kw_tokens]
+    feature_map: Array                  # [b, n, dim] maskgit embeddings
+    kw_attention: Dict[str, Array]      # keyword -> [b, heads, n, n_kw_tokens]
     video_patch_shape: Tuple[int, int, int]
     codebook_ids: Array
+    # last layer's full cross-attention [b, heads, n, text_len] (null-KV
+    # columns already dropped) — batched drivers slice per-sample keyword
+    # spans from this on host
+    cross_attention: Array = None
 
 
 def init_ctgenerate(key, cfg: CTGenerateConfig):
@@ -55,9 +60,9 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
     from models.t5.T5TextConditioner.encode; `keyword_indices` from
     get_token_indices on the positive pathologies."""
     vit_out = ctvit_apply(params["ctvit"], cfg.ctvit, ct_scan, freeze_vq=True)
-    ids_grid = vit_out.codebook_ids                  # [1, t, h, w]
+    ids_grid = vit_out.codebook_ids                  # [b, t, h, w]
     video_patch_shape = ids_grid.shape[1:]
-    ids = ids_grid.reshape(1, -1)
+    ids = ids_grid.reshape(ids_grid.shape[0], -1)
 
     token_mask = jnp.ones_like(ids, dtype=bool)      # reference ctgenerate.py:47
 
@@ -69,14 +74,46 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
     # last layer's cross-attention; drop the null-KV columns so text token
     # indices address text positions
     num_null = cfg.maskgit.transformer().attn_num_null_kv
-    cross = mg.cross_attn[-1][..., num_null:]        # [1, heads, n, text_len]
+    cross = mg.cross_attn[-1][..., num_null:]        # [b, heads, n, text_len]
 
     kw_attention = {kw: cross[..., jnp.asarray(idx)]
                     for kw, idx in keyword_indices.items()}
 
     return CTGenerateOutput(feature_map=mg.output, kw_attention=kw_attention,
                             video_patch_shape=tuple(int(d) for d in video_patch_shape),
-                            codebook_ids=ids_grid)
+                            codebook_ids=ids_grid, cross_attention=cross)
+
+
+@partial(jax.jit, static_argnames=("static_cfg",))
+def _ctgen_batched(params, static_cfg, ct_scans, text_embed, text_mask):
+    out = ctgenerate_apply(params, static_cfg, ct_scans, text_embed,
+                           text_mask, {}, return_embeds=True)
+    return out.feature_map, out.cross_attention, out.codebook_ids
+
+
+def ctgenerate_apply_batched(params, cfg: CTGenerateConfig, ct_scans: Array,
+                             text_embed: Array, text_mask: Array,
+                             mesh=None) -> CTGenerateOutput:
+    """Batched (and optionally DP-sharded) forward for serving: [b] scans +
+    their longest-padded T5 embeddings in ONE compiled program — the
+    reference drives scans strictly one at a time
+    (CTGenerateInference.py:101-140). Per-sample keyword spans are sliced
+    from `cross_attention` on host (see scripts/inference_ctgenerate.py).
+    With `mesh`, scans/text shard over the "data" axis and params replicate
+    — multi-chip scan throughput scales with the axis size."""
+    from ..config import CTGenerateConfig as _C  # hashable static cfg
+    assert isinstance(cfg, _C)
+    if mesh is not None:
+        from ..parallel import sharding as rules
+        ct_scans = jax.device_put(ct_scans, rules.batch_shardings(mesh))
+        text_embed = jax.device_put(text_embed, rules.batch_shardings(mesh))
+        text_mask = jax.device_put(text_mask, rules.batch_shardings(mesh))
+        params = jax.device_put(params, rules.replicated(mesh))
+    feature_map, cross, ids_grid = _ctgen_batched(
+        params, cfg, ct_scans, text_embed, text_mask)
+    return CTGenerateOutput(feature_map=feature_map, kw_attention={},
+                            video_patch_shape=tuple(ids_grid.shape[1:]),
+                            codebook_ids=ids_grid, cross_attention=cross)
 
 
 def keyword_heatmap(cross_attention: Array,

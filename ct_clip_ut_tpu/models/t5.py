@@ -147,18 +147,24 @@ class T5TextConditioner:
             max_length=max_length or self.cfg.max_length)
         ids = jnp.asarray(enc["input_ids"])
         mask = jnp.asarray(enc["attention_mask"])
-        self.tokens = self.tokenizer.convert_ids_to_tokens(
-            np.asarray(ids[0]).tolist())
+        # per-row token lists so batched encodes can resolve keyword spans
+        # per sample (get_token_indices(..., index=i))
+        self.batch_tokens = [
+            self.tokenizer.convert_ids_to_tokens(row)
+            for row in np.asarray(ids).tolist()]
+        self.tokens = self.batch_tokens[0]
         return self._encode(self.params, ids, mask), mask.astype(bool)
 
-    def get_token_indices(self, keywords):
+    def get_token_indices(self, keywords, index: int = 0):
         """First-match token index span per keyword over the last encoded
-        text (reference t5.py:41-68)."""
+        text (reference t5.py:41-68); `index` picks the row of a batched
+        encode."""
         def norm(tokens):
             return [t.lstrip("▁").lower() for t in tokens]
 
         out = {}
-        toks = norm(self.tokens)
+        toks = norm(self.batch_tokens[index]
+                    if hasattr(self, "batch_tokens") else self.tokens)
         for kw in keywords:
             kw_ids = self.tokenizer(kw, add_special_tokens=False)["input_ids"]
             kw_toks = norm(self.tokenizer.convert_ids_to_tokens(kw_ids))

@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t5", default="google/t5-v1_1-base")
     p.add_argument("--num-valid-samples", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="scans per forward (ctgenerate_apply_batched); the "
+                        "reference drives scans one at a time")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="DP-shard batches over this many devices")
     return p
 
 
@@ -66,26 +71,54 @@ def main(argv=None):
     results = Path(args.results_folder)
     results.mkdir(parents=True, exist_ok=True)
 
-    start = time.time()
-    for idx in range(len(ds)):
-        image, text, labels, scan_name, path = ds[idx]
-        positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())
-                     if l == 1.0]
-        text_embed, text_mask = t5.encode(text)
-        kw_idx = t5.get_token_indices(positives)
+    mesh = None
+    if args.mesh_data is not None:
+        from ..config import MeshConfig
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1),
+                         devices=jax.devices()[:args.mesh_data])
 
-        out = ctgenerate_apply(params, cfg, jnp.asarray(image)[None],
-                               text_embed, text_mask, kw_idx)
-
+    def render(image, scan_name, pathology, cross, video_patch_shape):
         img = rot90_ct(np.asarray(image).squeeze())
-        for pathology, cross in out.kw_attention.items():
-            heat = keyword_heatmap(cross, out.video_patch_shape,
-                                   image.shape[-3:])
-            heat = rot90_ct(heat)
-            visualize_overlay(
-                img, heat, scan_name, "GenerateCT Attention",
-                results / f"ctgenerate_{scan_name}_{pathology}.gif")
-            np.save(results / f"ctgenerate_{scan_name}_{pathology}.npy", heat)
+        heat = rot90_ct(keyword_heatmap(cross, video_patch_shape,
+                                        image.shape[-3:]))
+        visualize_overlay(
+            img, heat, scan_name, "GenerateCT Attention",
+            results / f"ctgenerate_{scan_name}_{pathology}.gif")
+        np.save(results / f"ctgenerate_{scan_name}_{pathology}.npy", heat)
+
+    start = time.time()
+    bsz = max(1, args.batch_size)
+    if bsz == 1 and mesh is None:
+        # reference-parity path: one scan per forward
+        for idx in range(len(ds)):
+            image, text, labels, scan_name, path = ds[idx]
+            positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())
+                         if l == 1.0]
+            text_embed, text_mask = t5.encode(text)
+            kw_idx = t5.get_token_indices(positives)
+            out = ctgenerate_apply(params, cfg, jnp.asarray(image)[None],
+                                   text_embed, text_mask, kw_idx)
+            for pathology, cross in out.kw_attention.items():
+                render(image, scan_name, pathology, cross,
+                       out.video_patch_shape)
+    else:
+        from ..models.ctgenerate import ctgenerate_apply_batched
+        for lo in range(0, len(ds), bsz):
+            samples = [ds[i] for i in range(lo, min(lo + bsz, len(ds)))]
+            images = np.stack([s[0] for s in samples])
+            text_embed, text_mask = t5.encode([s[1] for s in samples])
+            out = ctgenerate_apply_batched(params, cfg, jnp.asarray(images),
+                                           text_embed, text_mask, mesh=mesh)
+            cross_all = np.asarray(out.cross_attention)
+            for i, (image, _, labels, scan_name, _) in enumerate(samples):
+                positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())
+                             if l == 1.0]
+                for pathology, idx in t5.get_token_indices(
+                        positives, index=i).items():
+                    render(image, scan_name, pathology,
+                           cross_all[i:i + 1][..., idx],
+                           out.video_patch_shape)
     print(f"CTGENERATE inference completed in {time.time() - start:.1f}s")
 
 

@@ -186,6 +186,47 @@ def test_ctgenerate_pipeline():
     assert 0.0 <= heat.min() and heat.max() <= 1.0 + 1e-6
 
 
+def test_ctgenerate_batched_matches_per_scan():
+    """ctgenerate_apply_batched on [b] scans == b single-scan calls (the
+    reference loops one scan at a time, CTGenerateInference.py:101-140);
+    per-sample keyword spans slice from the batched cross_attention. Also
+    the DP-sharded path on the virtual mesh."""
+    from ct_clip_ut_tpu.config import MeshConfig
+    from ct_clip_ut_tpu.parallel.mesh import make_mesh
+    params = cg.init_ctgenerate(KEY, SMALL_GEN)
+    b = 2
+    scans = jax.random.normal(jax.random.PRNGKey(3), (b, 1, 9, 32, 32))
+    text_embed = jax.random.normal(jax.random.PRNGKey(4), (b, 6, 32))
+    text_mask = jnp.ones((b, 6), bool)
+    # second sample's text is shorter: pad positions masked off
+    text_mask = text_mask.at[1, 4:].set(False)
+    text_embed = text_embed * text_mask[..., None]
+
+    out = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans,
+                                      text_embed, text_mask)
+    for i in range(b):
+        single = cg.ctgenerate_apply(params, SMALL_GEN, scans[i:i + 1],
+                                     text_embed[i:i + 1], text_mask[i:i + 1],
+                                     {"kw": [1, 2]})
+        np.testing.assert_allclose(
+            np.asarray(out.feature_map[i]), np.asarray(single.feature_map[0]),
+            atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.cross_attention[i:i + 1][..., [1, 2]]),
+            np.asarray(single.kw_attention["kw"]), atol=1e-5, rtol=1e-5)
+
+    # DP-sharded over the 8-device mesh: same numbers
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    scans8 = jnp.tile(scans, (4, 1, 1, 1, 1))
+    emb8 = jnp.tile(text_embed, (4, 1, 1))
+    mask8 = jnp.tile(text_mask, (4, 1))
+    out8 = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans8, emb8,
+                                       mask8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out8.feature_map[:2]),
+                               np.asarray(out.feature_map), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_t5_conditioner_keyword_matching():
     """Keyword matcher over real HF T5 tokenizer pieces (host-side)."""
     try:
