@@ -34,10 +34,16 @@ from ..ops.vq import VQState
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(path, state) -> None:
+    """Atomic: serialize to a sibling temp file, then rename — a crash or
+    preemption mid-write can never corrupt the previous checkpoint (rename
+    is atomic on POSIX; the reference's torch.save has the same
+    torn-write exposure, CTClipTrainer.py:136)."""
     from flax import serialization
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.to_bytes(state))
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(serialization.to_bytes(state))
+    tmp.replace(path)
 
 
 def load_checkpoint(path, template):
