@@ -305,6 +305,10 @@ class TrainConfig:
     # weight on the MoE load-balance aux loss (only read when the model has
     # ctvit.moe_experts > 0; the GShard paper's default scale)
     moe_aux_weight: float = 0.01
+    # capture a jax.profiler trace of steps [2, 2 + profile_steps) into
+    # profile_dir (0 = off). Step 1 is excluded: it carries the compile.
+    profile_steps: int = 0
+    profile_dir: str = "/tmp/ctclip_trace"
     # LR schedule (both 0 = the reference's constant lr): linear warmup to
     # lr over warmup_steps, then cosine decay over decay_steps down to
     # lr * end_lr_frac (train/optimizer.make_lr_schedule)

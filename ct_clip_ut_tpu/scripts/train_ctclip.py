@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh axis size; data*model must "
                         "equal the device count")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace of this many steps "
+                        "(starting at step 2 of epoch 1; 0 = off)")
+    p.add_argument("--profile-dir", default="/tmp/ctclip_trace")
     p.add_argument("--warmup-steps", type=int, default=0,
                    help="linear lr warmup steps (0 = constant lr, the "
                         "reference schedule)")
@@ -140,7 +144,8 @@ def main(argv=None):
         sharded_checkpoints=args.sharded_checkpoints,
         moe_aux_weight=args.moe_aux_weight, fsdp=args.fsdp,
         warmup_steps=args.warmup_steps, decay_steps=args.decay_steps,
-        end_lr_frac=args.end_lr_frac, adam_mu_dtype=args.adam_mu_dtype)
+        end_lr_frac=args.end_lr_frac, adam_mu_dtype=args.adam_mu_dtype,
+        profile_steps=args.profile_steps, profile_dir=args.profile_dir)
 
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 

@@ -345,6 +345,13 @@ class CTClipTrainer:
         if self.is_main:
             print(*args, **kwargs)
 
+    def _stop_trace(self):
+        if getattr(self, "_tracing", False):
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._tracing = False
+            self.maybe_print(f"profiler trace -> {self.cfg.profile_dir}")
+
     # -- plumbing ----------------------------------------------------------
 
     def tokenize(self, texts):
@@ -477,6 +484,15 @@ class CTClipTrainer:
                 return loss
 
             for step, (images, texts) in enumerate(self.train_data, start=1):
+                # optional profiler window: steps [2, 2 + profile_steps)
+                # of epoch 1 (step 1 carries the compile; traces from
+                # tools/xplane.py or tensorboard read the dump)
+                if self.cfg.profile_steps > 0 and epoch == 1 and self.is_main:
+                    if step == 2:
+                        jax.profiler.start_trace(self.cfg.profile_dir)
+                        self._tracing = True
+                    elif step == 2 + self.cfg.profile_steps:
+                        self._stop_trace()
                 images, tokens = self._put_batch(images, texts)
                 self.state, loss = self.train_step(self.state, images, tokens)
                 if epoch == 1 and step == 1:
@@ -496,6 +512,7 @@ class CTClipTrainer:
                 pending = (step, loss)
             if pending is not None:
                 log_step(*pending)
+            self._stop_trace()  # epoch shorter than the profile window
 
             avg = total_loss / max(steps, 1)
             self.train_losses["epochs"].append(avg)

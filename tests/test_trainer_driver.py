@@ -57,6 +57,22 @@ class FakeBatches:
                 yield images, texts
 
 
+def test_trainer_profile_window(tmp_path):
+    """--profile-steps captures a trace dump of steps [2, 2+N); the
+    epoch-end safety stop closes a window longer than the epoch."""
+    cfg = TrainConfig(lr=1e-3, num_epochs=1, compute_dtype="float32",
+                      text_max_length=16, profile_steps=99,  # > epoch length
+                      profile_dir=str(tmp_path / "trace"))
+    trainer = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                            FakeBatches(3, 2),
+                            FakeBatches(1, 2, with_labels=True),
+                            results_folder=tmp_path)
+    trainer.train()
+    assert not getattr(trainer, "_tracing", False)
+    dumps = list((tmp_path / "trace").rglob("*.xplane.pb"))
+    assert dumps, "no profiler dump written"
+
+
 def test_trainer_driver_two_epochs(tmp_path):
     cfg = TrainConfig(lr=1e-3, num_epochs=2, compute_dtype="float32",
                       save_best_model=True, text_max_length=16)
