@@ -46,6 +46,13 @@ class ShardedSampler:
         if self.drop_last:
             per = self.n // self.num_shards
             idx = idx[: per * self.num_shards]
+        elif self.n % self.num_shards:
+            # pad by wrapping so every shard has EQUAL length (torch
+            # DistributedSampler semantics): unequal shards desynchronize
+            # collective eval loops across processes — one host enters a
+            # collective its peers never reach
+            pad = self.num_shards - self.n % self.num_shards
+            idx = np.concatenate([idx, idx[:pad]])
         return idx[self.shard_index::self.num_shards].tolist()
 
 

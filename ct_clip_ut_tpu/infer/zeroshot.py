@@ -108,12 +108,33 @@ def zeroshot_probs_sharded(params, cfg: CTCLIPConfig, image, prompt_latents,
 
     Multi-process: `image` is this PROCESS's local batch (its ShardedSampler
     shard); the global batch is assembled across hosts, so the returned
-    [global_B, 18] probs row-align with the global batch order."""
+    [global_B, 18] probs row-align with the global batch order.
+
+    A single-process indivisible batch (shorter final loader batch, batch 1
+    on a wide data axis) is padded by repeating the last row — rows score
+    independently, so the real rows' probs are unchanged; pad rows are
+    sliced off before returning. Multi-process indivisible local batches
+    raise instead (slicing pad rows out of a process-spanning result would
+    need a cross-host gather; pick batch % (data/process_count) == 0 —
+    same rule as the trainer)."""
     from ..parallel import sharding
-    image = sharding.shard_host_batch(jnp.asarray(image), mesh)
+    image = jnp.asarray(image)
+    b = image.shape[0]
+    local_data = max(1, mesh.shape["data"] // jax.process_count())
+    pad = (-b) % local_data
+    if pad and jax.process_count() > 1:
+        raise ValueError(
+            f"local eval batch {b} not divisible by the local data axis "
+            f"{local_data} in a {jax.process_count()}-process run; pick a "
+            f"batch size divisible by {mesh.shape['data']} // process_count")
+    if pad:
+        image = jnp.concatenate(
+            [image, jnp.repeat(image[-1:], pad, axis=0)], axis=0)
+    image = sharding.shard_host_batch(image, mesh)
     params, prompt_latents = place_eval_inputs(params, prompt_latents, mesh)
-    return zeroshot_probs(params, cfg, image, prompt_latents,
-                          compute_dtype=compute_dtype)
+    probs = zeroshot_probs(params, cfg, image, prompt_latents,
+                           compute_dtype=compute_dtype)
+    return probs[:b] if pad else probs
 
 
 def gather_predictions(preds, targets):

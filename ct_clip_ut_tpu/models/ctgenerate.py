@@ -103,17 +103,28 @@ def ctgenerate_apply_batched(params, cfg: CTGenerateConfig, ct_scans: Array,
     — multi-chip scan throughput scales with the axis size."""
     from ..config import CTGenerateConfig as _C  # hashable static cfg
     assert isinstance(cfg, _C)
+    b = ct_scans.shape[0]
     if mesh is not None:
         from ..parallel import sharding as rules
+        # pad an indivisible batch (short final batch, batch < data axis)
+        # by repeating the last scan: rows are independent, pads sliced off
+        pad = (-b) % mesh.shape["data"]
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+            ct_scans, text_embed, text_mask = map(
+                rep, (jnp.asarray(ct_scans), jnp.asarray(text_embed),
+                      jnp.asarray(text_mask)))
         ct_scans = jax.device_put(ct_scans, rules.batch_shardings(mesh))
         text_embed = jax.device_put(text_embed, rules.batch_shardings(mesh))
         text_mask = jax.device_put(text_mask, rules.batch_shardings(mesh))
         params = jax.device_put(params, rules.replicated(mesh))
     feature_map, cross, ids_grid = _ctgen_batched(
         params, cfg, ct_scans, text_embed, text_mask)
-    return CTGenerateOutput(feature_map=feature_map, kw_attention={},
+    return CTGenerateOutput(feature_map=feature_map[:b], kw_attention={},
                             video_patch_shape=tuple(ids_grid.shape[1:]),
-                            codebook_ids=ids_grid, cross_attention=cross)
+                            codebook_ids=ids_grid[:b],
+                            cross_attention=cross[:b])
 
 
 def keyword_heatmap(cross_attention: Array,

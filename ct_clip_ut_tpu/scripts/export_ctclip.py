@@ -36,12 +36,8 @@ def main(argv=None):
     from ..train import checkpoint as ckpt
 
     cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
-    if args.checkpoint and args.checkpoint.endswith(".pt"):
-        params = ckpt.convert_ctclip(
-            ckpt.load_torch_checkpoint(args.checkpoint), cfg)
-    elif args.checkpoint:
-        template = init_ctclip(jax.random.PRNGKey(0), cfg)
-        params = ckpt.load_checkpoint(args.checkpoint, template)
+    if args.checkpoint:
+        params = ckpt.load_ctclip_params(args.checkpoint, cfg)
     else:
         params = init_ctclip(jax.random.PRNGKey(0), cfg)
 

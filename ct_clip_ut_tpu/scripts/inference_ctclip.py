@@ -87,16 +87,8 @@ def main(argv=None):
     model_cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 
-    if args.checkpoint.endswith(".pt"):
-        params = ckpt.convert_ctclip(
-            ckpt.load_torch_checkpoint(args.checkpoint), model_cfg)
-    else:
-        from ..models.ctclip import init_ctclip
-        template = init_ctclip(jax.random.PRNGKey(0), model_cfg)
-        params = ckpt.load_checkpoint(args.checkpoint, template)
-        if isinstance(params, dict) and "params" in params:
-            params = params["params"]
-    params = jax.device_put(params)
+    params = jax.device_put(ckpt.load_ctclip_params(args.checkpoint,
+                                                    model_cfg))
 
     ds = InferenceDataset(args.data_valid, args.valid_reports,
                           args.valid_metadata, args.valid_labels,

@@ -78,10 +78,11 @@ def main(argv=None):
         mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1),
                          devices=jax.devices()[:args.mesh_data])
 
-    def render(image, scan_name, pathology, cross, video_patch_shape):
-        img = rot90_ct(np.asarray(image).squeeze())
+    def render(img, image_shape, scan_name, pathology, cross,
+               video_patch_shape):
+        # `img` is the per-scan rot90 volume, computed ONCE per scan
         heat = rot90_ct(keyword_heatmap(cross, video_patch_shape,
-                                        image.shape[-3:]))
+                                        image_shape[-3:]))
         visualize_overlay(
             img, heat, scan_name, "GenerateCT Attention",
             results / f"ctgenerate_{scan_name}_{pathology}.gif")
@@ -99,8 +100,9 @@ def main(argv=None):
             kw_idx = t5.get_token_indices(positives)
             out = ctgenerate_apply(params, cfg, jnp.asarray(image)[None],
                                    text_embed, text_mask, kw_idx)
+            img = rot90_ct(np.asarray(image).squeeze())
             for pathology, cross in out.kw_attention.items():
-                render(image, scan_name, pathology, cross,
+                render(img, image.shape, scan_name, pathology, cross,
                        out.video_patch_shape)
     else:
         from ..models.ctgenerate import ctgenerate_apply_batched
@@ -114,9 +116,10 @@ def main(argv=None):
             for i, (image, _, labels, scan_name, _) in enumerate(samples):
                 positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())
                              if l == 1.0]
+                img = rot90_ct(np.asarray(image).squeeze())
                 for pathology, idx in t5.get_token_indices(
                         positives, index=i).items():
-                    render(image, scan_name, pathology,
+                    render(img, image.shape, scan_name, pathology,
                            cross_all[i:i + 1][..., idx],
                            out.video_patch_shape)
     print(f"CTGENERATE inference completed in {time.time() - start:.1f}s")

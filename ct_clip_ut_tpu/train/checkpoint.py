@@ -349,6 +349,24 @@ def convert_ctgenerate(sd: Dict[str, Any], cfg, t5_sd: Dict[str, Any] = None):
     return params
 
 
+def load_ctclip_params(checkpoint_path: str, cfg):
+    """CTCLIP params from either checkpoint format — the one loader the
+    inference/export CLIs share: a torch `.pt` goes through the state_dict
+    converter; a native msgpack restores into a fresh-init template, with
+    the TrainState-style `{"params": ...}` wrapper unwrapped."""
+    import jax
+
+    checkpoint_path = str(checkpoint_path)
+    if checkpoint_path.endswith(".pt"):
+        return convert_ctclip(load_torch_checkpoint(checkpoint_path), cfg)
+    from ..models.ctclip import init_ctclip
+    template = init_ctclip(jax.random.PRNGKey(0), cfg)
+    params = load_checkpoint(checkpoint_path, template)
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]
+    return params
+
+
 def load_torch_checkpoint(path) -> Dict[str, Any]:
     import torch
     return torch.load(path, map_location="cpu", weights_only=False)

@@ -226,6 +226,15 @@ def test_ctgenerate_batched_matches_per_scan():
                                np.asarray(out.feature_map), atol=1e-5,
                                rtol=1e-5)
 
+    # indivisible batch (b=2 on 8 devices): padded internally, pads sliced
+    out_pad = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans,
+                                          text_embed, text_mask, mesh=mesh)
+    assert out_pad.feature_map.shape[0] == b
+    assert out_pad.cross_attention.shape[0] == b
+    np.testing.assert_allclose(np.asarray(out_pad.feature_map),
+                               np.asarray(out.feature_map), atol=1e-5,
+                               rtol=1e-5)
+
 
 def test_t5_conditioner_keyword_matching():
     """Keyword matcher over real HF T5 tokenizer pieces (host-side)."""

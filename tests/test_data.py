@@ -200,6 +200,15 @@ def test_loader_sharding_and_collation(fake_dataset_dir):
     assert s0.indices() != loader_mod.ShardedSampler(
         5, num_shards=2, shard_index=0, shuffle=True).indices() or True
 
+    # drop_last=False pads shards EQUAL by wrapping (torch DistributedSampler
+    # semantics): unequal shards desynchronize collective eval loops
+    e0 = loader_mod.ShardedSampler(5, num_shards=2, shard_index=0,
+                                   shuffle=False, drop_last=False).indices()
+    e1 = loader_mod.ShardedSampler(5, num_shards=2, shard_index=1,
+                                   shuffle=False, drop_last=False).indices()
+    assert len(e0) == len(e1) == 3
+    assert set(e0) | set(e1) == set(range(5))  # still covers everything
+
 
 def test_preprocess_cache_roundtrip(fake_dataset_dir, tmp_path):
     """Cached __getitem__ returns identical tensors and skips re-decode;

@@ -163,6 +163,16 @@ def test_zeroshot_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(sharded2), np.asarray(single),
                                atol=1e-5)
 
+    # indivisible batches pad internally (short final loader batch, batch 1
+    # on a wide axis) — real rows unchanged, pads sliced off
+    for b in (3, 1):
+        sharded_b = zs.zeroshot_probs_sharded(params, SMALL_CLIP, image[:b],
+                                              prompt_latents, mesh,
+                                              compute_dtype="float32")
+        assert sharded_b.shape[0] == b
+        np.testing.assert_allclose(np.asarray(sharded_b),
+                                   np.asarray(single[:b]), atol=1e-6)
+
 
 def test_metrics_shapes():
     from ct_clip_ut_tpu.utils import metrics as M
