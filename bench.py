@@ -428,12 +428,50 @@ def _replay_last_ledger_run(reason: str) -> bool:
     return False
 
 
+def _arm_deadline_watchdog() -> None:
+    """Hard wall-clock bound on the whole bench. The observed worker failure
+    mode is a mid-execution wedge (a dispatched program never completes, every
+    subsequent JAX call blocks forever) — a probe at start-up cannot catch a
+    chip that dies MID-run, and a wedged main thread never reaches Python
+    again, so the bound lives on a daemon thread: at the deadline it replays
+    the newest committed ledger record (marked stale) and hard-exits."""
+    import threading
+
+    deadline = float(os.environ.get("CTCLIP_BENCH_DEADLINE_S", "3000"))
+    finished = threading.Event()
+
+    def reaper():
+        if finished.wait(deadline):
+            return
+        import sys
+        if not _replay_last_ledger_run(
+                f"bench exceeded {deadline:.0f}s deadline "
+                "(worker died mid-run)"):
+            print(json.dumps({"metric": "zeroshot_volumes_per_sec_per_chip",
+                              "value": 0.0, "unit": "volumes/s",
+                              "vs_baseline": 0.0,
+                              "extra": {"error": "bench deadline, no ledger"}}))
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=reaper, daemon=True).start()
+    _arm_deadline_watchdog.finished = finished
+
+
 def main() -> None:
+    _arm_deadline_watchdog()
     try:
         _probe_chip()
     except SystemExit as e:
         if _replay_last_ledger_run(str(e)):
-            return
+            # the probe's daemon thread is still wedged inside a JAX call on
+            # the dead worker; normal interpreter teardown then aborts in the
+            # TPU client's atexit (observed SIGABRT/134 AFTER the replay line
+            # printed, which the driver would read as a failed bench). The
+            # replay line is complete — exit hard, skipping teardown.
+            import sys
+            sys.stdout.flush()
+            os._exit(0)
         raise
     cfg = flagship_cfg()
     key = jax.random.PRNGKey(0)
@@ -530,6 +568,7 @@ def main() -> None:
         "extra": extra,
     })
     print(line)
+    _arm_deadline_watchdog.finished.set()   # real line printed — disarm
     # append to the committed measurement ledger so a successful run
     # survives even if a later driver invocation hits a dead chip
     try:

@@ -44,6 +44,8 @@ def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
     device. Transport to host goes through `_ig_pack` (sparse bitmask
     encoding) — see `integrated_gradients`."""
     image = image.astype(jnp.float32)
+    text_tokens, text_embeds = _hoist_text_tower(params, cfg, text_tokens,
+                                                 text_embeds)
     patches = patchify(image, cfg.ctvit.patch_size,
                        cfg.ctvit.temporal_patch_size)
     # patchify(const) == const, so the all-ones baseline is exact in patch space
@@ -72,6 +74,27 @@ def _ig_patch_space(params, cfg: CTCLIPConfig, text_tokens, image: Array,
     sum_grads, _ = jax.lax.scan(step, jnp.zeros_like(patches),
                                 (alphas_p, weights_p))
     return _ig_normalize(diff, sum_grads / steps, quantile, contrast)
+
+
+def _hoist_text_tower(params, cfg: CTCLIPConfig, text_tokens, text_embeds):
+    """Run the BERT text tower ONCE per map instead of once per Riemann step.
+
+    The score differentiates w.r.t. the image patches only, so the CLS
+    embedding is a constant of the step loop — but inside the scanned VJP
+    body XLA is not guaranteed to hoist a 12-layer BERT out of the loop.
+    Computing the CLS here and feeding `ctclip_apply`'s text_embeds bypass
+    (reference ctclip.py:107 — CLS-level, pre-projection) is the exact same
+    composition: encode_text_latents == l2norm(linear(to_text_latent, CLS)).
+    Returns (text_tokens, text_embeds) with the tower folded into embeds."""
+    if text_embeds is not None or text_tokens is None:
+        return text_tokens, text_embeds
+    from ..models.bert import bert_cls
+    cls = bert_cls(params["text_transformer"], cfg.bert,
+                   text_tokens["input_ids"],
+                   text_tokens.get("attention_mask"),
+                   text_tokens.get("token_type_ids"),
+                   compute_dtype=jnp.float32)
+    return None, cls
 
 
 def _ig_normalize(diff, avg_grads, quantile, contrast):
@@ -108,6 +131,8 @@ def _ig_patch_space_sharded(params, cfg: CTCLIPConfig, text_tokens,
 
     n_dev = mesh.shape[axis_name]
     image = image.astype(jnp.float32)
+    text_tokens, text_embeds = _hoist_text_tower(params, cfg, text_tokens,
+                                                 text_embeds)
     patches = patchify(image, cfg.ctvit.patch_size,
                        cfg.ctvit.temporal_patch_size)
     baseline = jnp.full_like(patches, baseline_value)
@@ -137,10 +162,11 @@ def _ig_patch_space_sharded(params, cfg: CTCLIPConfig, text_tokens,
         return jax.lax.psum(sum_g, axis_name)
 
     embeds_spec = P() if text_embeds is not None else None
+    tokens_spec = P() if text_tokens is not None else None
     sum_grads = shard_map(
         device_sum, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P(),
-                  embeds_spec),
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(),
+                  tokens_spec, embeds_spec),
         out_specs=P(),
         check_vma=False)(alphas_p, weights_p, patches, baseline, diff,
                          params, text_tokens, text_embeds)

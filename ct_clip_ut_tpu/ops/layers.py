@@ -342,7 +342,15 @@ def peg_residual(params, x: Array, video_shape: Tuple[int, int, int, int],
             and dim % 128 == 0 and h >= 3 and w >= 3):
         orig_shape = x.shape
         v = x.reshape(b, t, h, w, dim)
-        if os.environ.get("CTCLIP_PEG_BWD") == "autodiff":
+        # backward selection: the GSPMD mis-scale needs a mesh axis the conv
+        # is not partitioned over, so a single-device process can never hit
+        # it — take the faster plain autodiff there (3.70 vs 4.96 ms/layer)
+        # unless the env pins a choice. Any multi-device run (real or
+        # virtual) defaults to the mesh-safe custom VJP.
+        mode = os.environ.get("CTCLIP_PEG_BWD")
+        if mode is None:
+            mode = "autodiff" if jax.device_count() == 1 else "safe"
+        if mode == "autodiff":
             out = _peg_conv_residual_impl(v, params["w"], params["b"], causal)
         else:
             out = _peg_conv_residual(causal)(v, params["w"], params["b"])
