@@ -52,6 +52,7 @@ WITH_TRAIN = os.environ.get("CTCLIP_BENCH_TRAIN", "1") != "0"
 WITH_OCC_FULL = os.environ.get("CTCLIP_BENCH_OCC_FULL", "1") != "0"
 IG_STEPS = int(os.environ.get("CTCLIP_BENCH_IG_STEPS", "50"))
 IG_MAPS = int(os.environ.get("CTCLIP_BENCH_IG_MAPS", "3"))
+IG_CHUNK = int(os.environ.get("CTCLIP_BENCH_IG_CHUNK", "5"))
 OCC_WINDOWS = int(os.environ.get("CTCLIP_BENCH_OCC_WINDOWS", "256"))
 TRAIN_BATCH = int(os.environ.get("CTCLIP_BENCH_TRAIN_BATCH", "8"))
 TRAIN_STEPS = int(os.environ.get("CTCLIP_BENCH_TRAIN_STEPS", "5"))
@@ -342,15 +343,18 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
     # serialization / relay warm-up and read several x slow
     from ct_clip_ut_tpu.attribution.integrated_gradients import \
         integrated_gradients_pipelined
-    integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS)  # compile
+    integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS,
+                         chunk=IG_CHUNK)  # compile
     ig_s = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS)
+        integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS,
+                             chunk=IG_CHUNK)
         ig_s = min(ig_s, time.perf_counter() - t0)
     t0 = time.perf_counter()
     for _ in integrated_gradients_pipelined(
-            params, cfg, [(one_tok, image)] * IG_MAPS, steps=IG_STEPS):
+            params, cfg, [(one_tok, image)] * IG_MAPS, steps=IG_STEPS,
+            chunk=IG_CHUNK):
         pass
     ig_pipe = (time.perf_counter() - t0) / IG_MAPS
     out[f"ig{IG_STEPS}_seconds_per_map"] = round(ig_pipe, 2)
