@@ -301,3 +301,44 @@ def test_grouped_conv_gspmd_bug_canary():
     assert abs(ratio - 2.0) < 1e-3, (
         f"grouped-conv GSPMD grad ratio {ratio}: if this is now ~1.0 the "
         "upstream bug is fixed — remove the PEG custom-VJP workaround")
+
+
+def test_peg_backward_single_device_default():
+    """On a single-device process peg_residual defaults to plain autodiff
+    for the backward (the GSPMD grouped-conv mis-scale needs a mesh axis the
+    conv is unpartitioned over, so one device can never hit it; autodiff is
+    ~1.3 ms/layer faster on v5e) — and that default must produce the same
+    gradients as the mesh-safe custom VJP. The suite's own process holds 8
+    virtual devices (conftest), so the 1-device default runs in a clean
+    subprocess."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+assert jax.device_count() == 1, jax.devices()
+from ct_clip_ut_tpu.ops.layers import (peg_residual, init_peg,
+                                       _peg_conv_residual)
+p = init_peg(jax.random.PRNGKey(0), 16)
+x = jax.random.normal(jax.random.PRNGKey(1), (2, 4 * 3 * 3, 16), jnp.float32)
+vs = (2, 4, 3, 3)
+loss_default = lambda pp: (peg_residual(pp, x, vs) ** 2).sum()
+g_default = jax.grad(loss_default)(p)
+f_safe = _peg_conv_residual(True)
+loss_safe = lambda pp: (
+    f_safe(x.reshape(2, 4, 3, 3, 16), pp["w"], pp["b"]) ** 2).sum()
+g_safe = jax.grad(loss_safe)(p)
+for k in g_default:
+    err = float(jnp.abs(g_default[k] - g_safe[k]).max())
+    assert err < 1e-4, (k, err)
+print("OK")
+"""
+    env = dict(__import__("os").environ)
+    env.pop("XLA_FLAGS", None)           # no forced 8-device CPU backend
+    env.pop("CTCLIP_PEG_BWD", None)      # exercise the DEFAULT selection
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0 and "OK" in res.stdout, (
+        res.stdout, res.stderr[-2000:])
