@@ -457,10 +457,27 @@ class CTClipTrainer:
         # step-loss logging is subsampled num_save_split times per epoch
         # (reference CTClipTrainer.py:257,274)
         try:
-            save_at = max(1, len(self.train_data) // self.cfg.num_save_split)
+            steps_per_epoch = len(self.train_data)
+            save_at = max(1, steps_per_epoch // self.cfg.num_save_split)
         except TypeError:  # unsized iterable: log every step
+            steps_per_epoch = None
             save_at = 1
-        for epoch in range(1, self.cfg.num_epochs + 1):
+        # epoch-level resume: a restored full TrainState carries the global
+        # step counter (train/checkpoint.py — the reference's checkpoints
+        # store only model/optim and always restart, CTClipTrainer.py:136);
+        # completed epochs are skipped, a partial epoch is re-run from its
+        # start (the sampler reshuffle is a pure function of the epoch
+        # number, so the re-run sees the same batches).
+        resumed_step = int(self.state.step)
+        done_epochs = 0
+        if resumed_step and steps_per_epoch:
+            done_epochs = min(resumed_step // steps_per_epoch,
+                              self.cfg.num_epochs)
+            if done_epochs:
+                self.maybe_print(
+                    f"Resuming at step {resumed_step}: skipping "
+                    f"{done_epochs} completed epoch(s)")
+        for epoch in range(done_epochs + 1, self.cfg.num_epochs + 1):
             epoch_start = time.time()
             # re-shuffle per epoch (reference train_sampler.set_epoch, :265)
             sampler = getattr(self.train_data, "sampler", None)
@@ -495,7 +512,7 @@ class CTClipTrainer:
                         self._stop_trace()
                 images, tokens = self._put_batch(images, texts)
                 self.state, loss = self.train_step(self.state, images, tokens)
-                if epoch == 1 and step == 1:
+                if epoch == 1 and step == 1 and resumed_step == 0:
                     # bootstrap logging keeps its synchronous shape
                     l0 = log_step(1, loss)
                     self.train_losses["epochs"].append(l0)

@@ -123,3 +123,47 @@ def test_trainer_driver_tp_mesh_4x2(tmp_path):
                             results_folder=tmp_path, mesh=mesh)
     trainer.train()
     assert all(np.isfinite(v) for v in trainer.train_losses["steps"])
+
+
+class SizedFakeBatches(FakeBatches):
+    def __len__(self):
+        return self.n
+
+
+def test_trainer_resume_skips_completed_epochs(tmp_path):
+    """A restored full TrainState resumes at the epoch after its step
+    counter (the reference's model/optim-only checkpoints always restart,
+    CTClipTrainer.py:136): 4-epoch config restored from a 2-epoch
+    checkpoint runs exactly epochs 3..4, and the resumed run performs no
+    step-0 bootstrap eval."""
+    cfg = TrainConfig(lr=1e-3, num_epochs=2, compute_dtype="float32",
+                      text_max_length=16)
+    trainer = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                            SizedFakeBatches(3, 2),
+                            FakeBatches(1, 2, with_labels=True),
+                            results_folder=tmp_path / "a")
+    trainer.train()
+    trainer.save_model("state.msgpack")
+    ckpt_path = trainer.results_folder / "state.msgpack"
+    assert int(trainer.state.step) == 6
+
+    cfg4 = TrainConfig(lr=1e-3, num_epochs=4, compute_dtype="float32",
+                       text_max_length=16)
+    trainer2 = CTClipTrainer(SMALL_CLIP, cfg4, HashTokenizer(),
+                             SizedFakeBatches(3, 2),
+                             FakeBatches(1, 2, with_labels=True),
+                             results_folder=tmp_path / "b")
+    trainer2.load_model(ckpt_path)
+    state = trainer2.train()
+    assert int(state.step) == 12            # only epochs 3..4 ran
+    assert len(trainer2.valid_losses) == 2  # one eval per resumed epoch,
+    assert len(trainer2.train_losses["epochs"]) == 2  # no bootstrap entries
+
+    # resuming past the configured horizon trains zero steps
+    trainer3 = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                             SizedFakeBatches(3, 2),
+                             FakeBatches(1, 2, with_labels=True),
+                             results_folder=tmp_path / "c")
+    trainer3.load_model(ckpt_path)
+    state3 = trainer3.train()
+    assert int(state3.step) == 6
