@@ -55,6 +55,9 @@ IG_MAPS = int(os.environ.get("CTCLIP_BENCH_IG_MAPS", "3"))
 IG_CHUNK = int(os.environ.get("CTCLIP_BENCH_IG_CHUNK", "5"))
 OCC_WINDOWS = int(os.environ.get("CTCLIP_BENCH_OCC_WINDOWS", "256"))
 TRAIN_BATCH = int(os.environ.get("CTCLIP_BENCH_TRAIN_BATCH", "8"))
+WITH_CTGEN = os.environ.get("CTCLIP_BENCH_CTGEN", "1") != "0"
+CTGEN_BATCH = int(os.environ.get("CTCLIP_BENCH_CTGEN_BATCH", "4"))
+CTGEN_STEPS = int(os.environ.get("CTCLIP_BENCH_CTGEN_STEPS", "5"))
 TRAIN_STEPS = int(os.environ.get("CTCLIP_BENCH_TRAIN_STEPS", "5"))
 # bf16 kernels vs bf16 XLA twins: both sides round at 2^-8 per element and
 # the 512-576-length contractions accumulate; 3e-2 relative max-err is the
@@ -405,6 +408,44 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
     return out
 
 
+def bench_ctgenerate() -> dict:
+    """CTGenerate keyword-localization throughput at the reference geometry
+    (201x128x128 scan -> [101, 8, 8] codebook grid -> MaskGit cross-attention
+    over T5 context, reference CTGenerateInference.py:112-140). The reference
+    drives scans strictly one at a time; serving here batches them in one
+    compiled program (ctgenerate_apply_batched). Reports sustained
+    scans/s over CTGEN_STEPS pipelined batches of CTGEN_BATCH."""
+    import numpy as np
+
+    from ct_clip_ut_tpu.config import CTGenerateConfig
+    from ct_clip_ut_tpu.models.ctgenerate import (ctgenerate_apply_batched,
+                                                  init_ctgenerate)
+
+    cfg = CTGenerateConfig()
+    params = jax.device_put(init_ctgenerate(jax.random.PRNGKey(7), cfg))
+    scans = jax.random.normal(
+        jax.random.PRNGKey(8), (CTGEN_BATCH, 1, 201, 128, 128), jnp.float32)
+    text_embed = jax.random.normal(
+        jax.random.PRNGKey(9), (CTGEN_BATCH, 64, cfg.maskgit.dim_context),
+        jnp.float32)
+    text_mask = jnp.ones((CTGEN_BATCH, 64), bool)
+
+    def run():
+        out = ctgenerate_apply_batched(params, cfg, scans, text_embed,
+                                       text_mask)
+        return out
+
+    out = run()  # compile
+    np.asarray(out.feature_map[0, 0, :4])
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(CTGEN_STEPS)]
+    for o in outs:
+        np.asarray(o.feature_map[0, 0, :4])   # relay: force completion
+    sps = CTGEN_BATCH * CTGEN_STEPS / (time.perf_counter() - t0)
+    return {"ctgenerate_scans_per_sec": round(sps, 2),
+            "ctgenerate_batch": CTGEN_BATCH}
+
+
 def _replay_last_ledger_run(reason: str) -> bool:
     """Dead-chip fallback: print the newest committed BENCH_LOG.jsonl record
     (a real on-chip measurement from a previous run) instead of nothing, so
@@ -563,6 +604,8 @@ def main() -> None:
         extra.update(bench_kernel_parity())
     if WITH_TRAIN:
         extra.update(bench_train(cfg))
+    if WITH_CTGEN:
+        extra.update(bench_ctgenerate())
 
     line = json.dumps({
         "metric": "zeroshot_volumes_per_sec_per_chip",

@@ -66,10 +66,25 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
 
     token_mask = jnp.ones_like(ids, dtype=bool)      # reference ctgenerate.py:47
 
-    mg = maskgit_apply(
-        params["maskgit"], cfg.maskgit, ids, text_embed,
-        video_patch_shape, text_mask=text_mask, video_mask=token_mask,
-        return_embeds=return_embeds, weights="last_cross")
+    # long token grids route MaskGit self-attention through the blockwise
+    # online-softmax path with streamed 3D CPB column stripes: the dense
+    # [heads, n, n] score/bias tables at the flagship 101x8x8 grid (6,464
+    # tokens) lane-pad to ~21 GB under batching — past HBM. Equality with
+    # the dense path is pinned (tests/test_ctgenerate.py); the all-ones
+    # video mask (reference ctgenerate.py:47) is a no-op, dropped there.
+    n_tokens = ids.shape[1]
+    t_, h_, w_ = (int(d) for d in video_patch_shape)
+    if n_tokens >= 4096:
+        mg = maskgit_apply(
+            params["maskgit"], cfg.maskgit, ids, text_embed,
+            video_patch_shape, text_mask=text_mask, video_mask=None,
+            return_embeds=return_embeds, weights="last_cross",
+            self_attn_block=h_ * w_)
+    else:
+        mg = maskgit_apply(
+            params["maskgit"], cfg.maskgit, ids, text_embed,
+            video_patch_shape, text_mask=text_mask, video_mask=token_mask,
+            return_embeds=return_embeds, weights="last_cross")
 
     # last layer's cross-attention; drop the null-KV columns so text token
     # indices address text positions

@@ -184,13 +184,28 @@ def _bwd(scale, interpret, residual, res, g):
 attention_block_packed.defvjp(_fwd, _bwd)
 
 
-def _pick_rows(b: int, vmem_rows: int = 16) -> int:
+def _pick_rows(b: int, n: int = 24, d: int = 512, hd: int = 256,
+               itemsize: int = 2) -> int:
     """Sequences per program. Measured at the flagship temporal stack
     ([9216, 24, 512], v5e): r=8 -> 7.9 ms, r=16 -> 5.9 ms, r=32 -> 7.0 ms
     (beyond 16 the cross-sequence masked-score waste in the [r*n, r*n]
-    matmul outgrows the per-program overhead saved)."""
-    for r in (vmem_rows, 8, 4, 2):
-        if b % r == 0:
+    matmul outgrows the per-program overhead saved).
+
+    r is also bounded by a per-program VMEM estimate: the [r*n, r*n] fp32
+    mask + in-kernel score/exp buffers dominate, and they grow with the
+    SEQUENCE length, not just r — CTGenerate's fp32 [b, 101, 512] temporal
+    stack at the flagship r=16 allocates a [1616, 1616] block and dies in
+    Mosaic's 32 MB scoped-vmem stack (observed), while CT-CLIP's bf16
+    [*, 24, 512] keeps its measured r=16 under the same bound."""
+    for r in (16, 8, 4, 2):
+        if b % r != 0:
+            continue
+        rn = r * n
+        est = (3 * rn * rn * 4              # mask + score + exp buffers
+               + 2 * r * n * d * itemsize   # x block + out block
+               + 7 * hd * rn * 4            # scratch accumulators (bwd worst)
+               + 4 * hd * d * itemsize)     # weight blocks
+        if est <= 20 * 2**20:
             return r
     return 1
 
@@ -211,7 +226,7 @@ def _forward(x, gamma, wq, wk, wv, wo, qs, ks, scale, interpret,
         return packed_attention_xla(x, gamma, wq, wk, wv, wo, qs, ks, scale,
                                     residual)
 
-    r = _pick_rows(b)
+    r = _pick_rows(b, n, d, hd, x.dtype.itemsize)
     gamma2 = gamma.astype(jnp.float32).reshape(1, d)
     qs2 = qs.astype(jnp.float32).reshape(dh, 1)
     ks2 = ks.astype(jnp.float32).reshape(dh, 1)
@@ -400,7 +415,7 @@ def _backward_impl(x, gamma, wq, wk, wv, wo, qs, ks, g, *,
     hd = wq.shape[1]
     dh = qs.shape[-1]
     heads = hd // dh
-    r = _pick_rows(b)
+    r = _pick_rows(b, n, d, hd, x.dtype.itemsize)
 
     gamma2 = gamma.astype(jnp.float32).reshape(1, d)
     qs2 = qs.astype(jnp.float32).reshape(dh, 1)
