@@ -80,6 +80,15 @@ class TransformerConfig:
     ff_mult: float = 4.0
     peg: bool = False
     peg_causal: bool = False
+    # route the PEG depthwise conv through the fused Pallas stencil
+    # (ops/pallas_peg.py) instead of the XLA conv. The stencil reads the
+    # row-major video form DIRECTLY (a free reshape of the attention
+    # kernels' flat [rows, dim] output), skipping the {4,0,3,2,1} layout
+    # transposes XLA inserts around its conv — measured in-situ at flagship
+    # B=16: 25.9 vs 27.1 ms per apply+consumer, bit-identical output.
+    # Inference-path only (the training backward keeps the mesh-safe
+    # custom-VJP formulations in ops/layers.py).
+    peg_pallas: bool = False
     attn_num_null_kv: int = 2
     has_cross_attn: bool = False
     attn_dropout: float = 0.0
@@ -142,6 +151,9 @@ class CTViTConfig:
     # the bit-stable matmul formulation (attribution/capture.parity_cfg).
     patch_embed_conv: bool = True
     remat: bool = False  # per-layer remat in the encoders (training memory)
+    # serving-path PEG via the fused Pallas stencil (spatial stack only —
+    # see TransformerConfig.peg_pallas); off by default
+    peg_pallas: bool = False
     # MoE CT-ViT variant: >0 swaps every encoder FF for moe_experts routed
     # experts (expert-parallel over the mesh "model" axis, parallel/moe.py).
     # 0 = dense (reference parity). The stack's load-balance aux loss is
@@ -171,6 +183,7 @@ class CTViTConfig:
             dim=self.dim, depth=self.spatial_depth, dim_head=self.dim_head,
             heads=self.heads, attn_dropout=self.attn_dropout,
             ff_dropout=self.ff_dropout, peg=True, peg_causal=True,
+            peg_pallas=self.peg_pallas,
             remat=self.remat, moe_experts=self.moe_experts,
             moe_top_k=self.moe_top_k)
 

@@ -136,7 +136,8 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
         # residual=True folds the +x into each fused kernel's output write
         # (a separate XLA add is an extra full-HBM pass per block)
         if cfg.peg:
-            x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal)
+            x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal,
+                             use_pallas=cfg.peg_pallas or None)
         x, _ = self_attend(layer, x, r_attn, False, True)
         if cfg.has_cross_attn and context is not None:
             x, _ = attention(
@@ -164,7 +165,8 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
 
     for i, layer in enumerate(params["layers"]):
         if cfg.peg:
-            x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal)
+            x = peg_residual(layer["peg"], x, video_shape, causal=cfg.peg_causal,
+                             use_pallas=cfg.peg_pallas or None)
 
         if rng is not None:
             rng, r_attn, r_cross, r_ff = jax.random.split(rng, 4)
