@@ -337,6 +337,35 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
         times[i] = time.perf_counter() - t0
     out["rollout_maps_per_sec"] = round(1.0 / min(times), 3)
 
+    # raw attention maps + grad-CAM (the other two thesis methods,
+    # reference visualizations.py:570-639, 913-1026) — sub-second paths,
+    # timed so all 5 attribution methods appear in the artifact
+    from ct_clip_ut_tpu.attribution.grad_cam import grad_cam_volumes
+    from ct_clip_ut_tpu.attribution.raw_attention import raw_attention_maps
+
+    def run_raw():
+        sp, tm = raw_attention_maps(params, cfg, one_tok, image)
+        return float(np.asarray(sp).ravel()[0]) + float(np.asarray(tm).ravel()[0])
+
+    run_raw()  # compile
+    times = [0.0] * 3
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_raw()
+        times[i] = time.perf_counter() - t0
+    out["raw_attention_scans_per_sec"] = round(1.0 / min(times), 2)
+
+    def run_cam():
+        vols = grad_cam_volumes(params, cfg, one_tok, image)
+        return float(np.asarray(vols["combined"]).ravel()[0])
+
+    run_cam()  # compile
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_cam()
+        times[i] = time.perf_counter() - t0
+    out["gradcam_scans_per_sec"] = round(1.0 / min(times), 2)
+
     # integrated gradients (50 steps, reference visualizations.py:851-910).
     # Headline = PIPELINED sustained s/map over IG_MAPS maps (each map's
     # transport + host densify overlaps the next map's device compute, the
