@@ -249,3 +249,29 @@ def test_t5_conditioner_keyword_matching():
         tok("there is emphysema in both lungs")["input_ids"])
     idx = cond.get_token_indices(["emphysema"])
     assert "emphysema" in idx and len(idx["emphysema"]) >= 1
+
+
+def test_flagship_grid_routes_blockwise_no_dense_scores():
+    """At the reference 101x8x8 grid (6,464 tokens) ctgenerate_apply must
+    route MaskGit through the blockwise path: the dense [.., n, n]
+    score/bias tables lane-pad to ~21 GB under batching (observed HBM OOM
+    at B=4 on v5e). Abstract trace only — nothing is executed."""
+    from test_ring_attention import _all_eqn_shapes
+
+    from ct_clip_ut_tpu.config import CTGenerateConfig
+    from ct_clip_ut_tpu.models import ctgenerate as cg
+
+    cfg = CTGenerateConfig()   # flagship defaults: 201x128x128 scan
+    params = jax.eval_shape(
+        lambda k: cg.init_ctgenerate(k, cfg), jax.random.PRNGKey(0))
+    scan = jax.ShapeDtypeStruct((2, 1, 201, 128, 128), jnp.float32)
+    embed = jax.ShapeDtypeStruct((2, 32, cfg.maskgit.dim_context), jnp.float32)
+    mask = jax.ShapeDtypeStruct((2, 32), jnp.bool_)
+
+    jaxpr = jax.make_jaxpr(lambda p, s, e, m: cg.ctgenerate_apply(
+        p, cfg, s, e, m, {}, return_embeds=False).feature_map)(
+        params, scan, embed, mask)
+    n = 101 * 8 * 8
+    shapes = _all_eqn_shapes(jaxpr.jaxpr)
+    for s in shapes:
+        assert not (len(s) >= 2 and s[-1] == n and s[-2] == n), s
