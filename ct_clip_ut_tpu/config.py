@@ -303,6 +303,12 @@ class TrainConfig:
     num_train_samples: int = 100
     num_valid_samples: int = 20
     save_best_model: bool = False
+    # crash resilience: atomically write last_checkpoint.msgpack every N
+    # global steps (0 = off). Pairs with the trainer's epoch-level resume:
+    # a killed run restarts from the last periodic save and loses at most
+    # the partial epoch. The reference saves only per-epoch on rank 0
+    # (CTClipTrainer.py:136-145, 238-244).
+    save_every_steps: int = 0
     text_max_length: int = 512   # tokenizer truncation (CTClipTrainer.py:191)
     compute_dtype: str = "bfloat16"  # fp16 autocast in reference -> bf16 on TPU
     seed: int = 42

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "objective at batch/grad_accum activation memory "
                         "(batch-size must be divisible by it)")
     p.add_argument("--save-best-model", action="store_true")
+    p.add_argument("--save-every-steps", type=int, default=0,
+                   help="atomically write last_checkpoint every N steps "
+                        "(crash recovery; 0 = off)")
     p.add_argument("--sharded-checkpoints", action="store_true",
                    help="orbax/TensorStore checkpoint dirs: each process "
                         "writes its own shards (collective save) — required "
@@ -141,6 +144,7 @@ def main(argv=None):
         num_train_samples=args.num_train_samples,
         num_valid_samples=args.num_valid_samples,
         save_best_model=args.save_best_model, seed=args.seed,
+        save_every_steps=args.save_every_steps,
         sharded_checkpoints=args.sharded_checkpoints,
         moe_aux_weight=args.moe_aux_weight, fsdp=args.fsdp,
         warmup_steps=args.warmup_steps, decay_steps=args.decay_steps,

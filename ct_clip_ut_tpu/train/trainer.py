@@ -527,6 +527,14 @@ class CTClipTrainer:
                 if pending is not None:
                     log_step(*pending)
                 pending = (step, loss)
+                if (self.cfg.save_every_steps
+                        and int(self.state.step)
+                        % self.cfg.save_every_steps == 0):
+                    # periodic crash-recovery save (atomic write); resume
+                    # restarts at this state's epoch boundary
+                    self.save_model("last_checkpoint.orbax"
+                                    if self.cfg.sharded_checkpoints
+                                    else "last_checkpoint.msgpack")
             if pending is not None:
                 log_step(*pending)
             self._stop_trace()  # epoch shorter than the profile window

@@ -167,3 +167,23 @@ def test_trainer_resume_skips_completed_epochs(tmp_path):
     trainer3.load_model(ckpt_path)
     state3 = trainer3.train()
     assert int(state3.step) == 6
+
+
+def test_trainer_periodic_checkpoint(tmp_path):
+    """save_every_steps writes last_checkpoint.msgpack during the epoch; a
+    fresh trainer restored from it resumes with the saved step counter."""
+    cfg = TrainConfig(lr=1e-3, num_epochs=1, compute_dtype="float32",
+                      text_max_length=16, save_every_steps=2)
+    trainer = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                            SizedFakeBatches(4, 2),
+                            FakeBatches(1, 2, with_labels=True),
+                            results_folder=tmp_path)
+    trainer.train()
+    last = trainer.results_folder / "last_checkpoint.msgpack"
+    assert last.exists()
+    trainer2 = CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                             SizedFakeBatches(4, 2),
+                             FakeBatches(1, 2, with_labels=True),
+                             results_folder=tmp_path / "b")
+    trainer2.load_model(last)
+    assert int(trainer2.state.step) in (2, 4)
