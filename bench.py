@@ -646,7 +646,12 @@ def main() -> None:
     print(line)
     _arm_deadline_watchdog.finished.set()   # real line printed — disarm
     # append to the committed measurement ledger so a successful run
-    # survives even if a later driver invocation hits a dead chip
+    # survives even if a later driver invocation hits a dead chip — but only
+    # FULL runs: a sections-off experiment sweep must not become the newest
+    # record the dead-chip replay serves
+    if not (WITH_ATTRIBUTION and WITH_KERNEL_PARITY and WITH_TRAIN
+            and WITH_CTGEN):
+        return
     try:
         import datetime
         ts = datetime.datetime.now(datetime.timezone.utc).isoformat(
