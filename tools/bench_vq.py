@@ -1,16 +1,23 @@
 """VQ nearest-neighbor kernel tile sweep on the real chip.
 
-The Pallas kernel (ops/pallas_vq.py) runs at ~139 TF/s at the default
-(tm=256, tc=2048) — ~70% of v5e bf16 peak; the residue is the per-tile
-VPU (max, argmax) reduction serializing against the MXU matmul. This
-sweeps tile shapes at the flagship shape (55k tokens x 8192 codes x 512)
-and prints ms + TF/s per config, plus parity vs the XLA argmax.
+Times a DEVICE-SIDE chain of CHAIN kernel applications per jitted call
+(each iteration's tokens carry a zero-valued dependency on the previous
+iteration's indices), so one host dispatch covers CHAIN kernel runs. The
+earlier dispatch-N-drain version measured the relay's ~29 ms/call host
+dispatch floor, not the ~3 ms kernel (2026-08-19: every tile config read
+identically ~29 ms) — single small ops CANNOT be timed per-call through
+the relay; chain them or read an xplane trace.
 
-Usage: python tools/bench_vq.py   (run ALONE: no concurrent pytest)
+In-situ reference point (xplane trace of the flagship B=16 zero-shot
+program, 2026-08-19): 1.855 TFLOP in 10.4 ms = ~178 TF/s, ~90% of v5e
+bf16 peak, at the default (tm=256, tc=2048).
+
+Usage: python -u tools/bench_vq.py   (run ALONE: no concurrent pytest)
 """
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -28,7 +35,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 from ct_clip_ut_tpu.ops.pallas_vq import vq_nearest_pallas  # noqa: E402
 
 M, C, D = 55296, 8192, 512
-REPS = 20
+CHAIN = int(os.environ.get("VQ_CHAIN", "20"))
+REPS = int(os.environ.get("VQ_REPS", "3"))
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tc", "n"))
+def _chained(tokens, cb, tm: int, tc: int, n: int):
+    """n data-dependent kernel applications in one compiled program.
+
+    The carry adds 0 * idx[:, None] to the tokens — value-preserving but
+    opaque to XLA's CSE (idx feeds back), so all n runs execute."""
+
+    def body(_, tok):
+        idx = vq_nearest_pallas(tok, cb, tm=tm, tc=tc)
+        return tok + (idx[:, None] * 0).astype(tok.dtype)
+
+    return jax.lax.fori_loop(0, n, body, tokens)
 
 
 def main():
@@ -50,14 +72,15 @@ def main():
             try:
                 got = vq_nearest_pallas(tokens, cb, tm=tm, tc=tc)
                 mismatch = int((np.asarray(got) != want).sum())
-                # dispatch-N-drain sustained timing (relay: block_until_ready
-                # returns early; force a host fetch)
-                t0 = time.perf_counter()
-                outs = [vq_nearest_pallas(tokens, cb, tm=tm, tc=tc)
-                        for _ in range(REPS)]
-                for o in outs:
-                    np.asarray(o[:8])
-                dt = (time.perf_counter() - t0) / REPS
+                np.asarray(_chained(tokens, cb, tm, tc, CHAIN)[:8])  # compile
+                best = float("inf")
+                for _ in range(REPS):
+                    t0 = time.perf_counter()
+                    np.asarray(_chained(tokens, cb, tm, tc, CHAIN)[:8])
+                    best = min(best, time.perf_counter() - t0)
+                # subtract one dispatch+fetch round trip measured... not
+                # separable; CHAIN large enough that it amortizes to <5%
+                dt = best / CHAIN
                 print(f"tm={tm:5d} tc={tc:5d}: {dt*1e3:7.2f} ms "
                       f"{flops/dt/1e12:6.1f} TF/s mismatch={mismatch}")
             except Exception as e:
