@@ -12,7 +12,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ct_clip_ut_tpu.config import BertConfig, CTCLIPConfig, CTViTConfig
+from ct_clip_ut_tpu.config import (BertConfig, CTCLIPConfig,
+                                   CTGenerateConfig, CTViTConfig,
+                                   MaskGitConfig)
 from ct_clip_ut_tpu.models import ctclip as ctclip_mod
 from ct_clip_ut_tpu.train import checkpoint as ckpt
 
@@ -56,15 +58,16 @@ def bert_sd(prefix, cfg):
     return sd
 
 
-def attention_sd(prefix, dim, dim_head, heads, null_kv=0):
+def attention_sd(prefix, dim, dim_head, heads, null_kv=0, dim_context=None):
     inner = dim_head * heads
+    ctx = dim_context or dim
     return {
         f"{prefix}.norm.gamma": torch.ones(dim),
         f"{prefix}.norm.beta": torch.zeros(dim),        # frozen buffer
-        f"{prefix}.context_norm.gamma": torch.ones(dim),
-        f"{prefix}.context_norm.beta": torch.zeros(dim),
+        f"{prefix}.context_norm.gamma": torch.ones(ctx),
+        f"{prefix}.context_norm.beta": torch.zeros(ctx),
         f"{prefix}.to_q.weight": t(inner, dim),
-        f"{prefix}.to_kv.weight": t(inner * 2, dim),
+        f"{prefix}.to_kv.weight": t(inner * 2, ctx),
         f"{prefix}.to_out.weight": t(dim, inner),
         f"{prefix}.q_scale": torch.ones(dim_head),
         f"{prefix}.k_scale": torch.ones(dim_head),
@@ -73,7 +76,7 @@ def attention_sd(prefix, dim, dim_head, heads, null_kv=0):
     }
 
 
-def transformer_sd(prefix, cfg, depth):
+def transformer_sd(prefix, cfg, depth, cross=False, dim_context=None):
     sd = {f"{prefix}.norm_out.gamma": torch.ones(cfg.dim),
           f"{prefix}.norm_out.beta": torch.zeros(cfg.dim)}
     inner_ff = int(4 * (2 / 3) * cfg.dim)
@@ -82,6 +85,12 @@ def transformer_sd(prefix, cfg, depth):
         sd[f"{lp}.0.dsconv.weight"] = t(cfg.dim, 1, 3, 3, 3)
         sd[f"{lp}.0.dsconv.bias"] = t(cfg.dim)
         sd.update(attention_sd(f"{lp}.1", cfg.dim, cfg.dim_head, cfg.heads))
+        if cross:
+            # cross-attention at ModuleList index 2, 2 null KV pairs, keys
+            # from the T5 context dim (reference attention.py:306)
+            sd.update(attention_sd(f"{lp}.2", cfg.dim, cfg.dim_head,
+                                   cfg.heads, null_kv=2,
+                                   dim_context=dim_context))
         sd[f"{lp}.3.0.weight"] = torch.ones(cfg.dim)
         sd[f"{lp}.3.0.bias"] = torch.zeros(cfg.dim)
         sd[f"{lp}.3.1.weight"] = t(inner_ff * 2, cfg.dim)
@@ -151,3 +160,86 @@ def test_convert_reference_ctclip_state_dict():
         params, CLIP, {"input_ids": ids, "attention_mask": jnp.ones_like(ids)},
         image)
     assert np.isfinite(np.asarray(out.sim_matrix)).all()
+
+
+# ---------------------------------------------------------------------------
+# CTGenerate (`ctgenerate_filtered.pt`: ctvit.* + maskgit.*)
+# ---------------------------------------------------------------------------
+
+GEN_VIT = CTViTConfig(dim=16, codebook_size=32, image_size=16, patch_size=8,
+                      temporal_patch_size=2, spatial_depth=2, temporal_depth=2,
+                      dim_head=4, heads=4, model_type="ctgenerate")
+MG = MaskGitConfig(dim=16, num_tokens=32, max_seq_len=64, heads=4, dim_head=4,
+                   depth=2, dim_context=24)
+GEN = CTGenerateConfig(ctvit=GEN_VIT, maskgit=MG)
+
+
+def maskgit_sd(prefix, cfg):
+    """Reference MaskGit naming (maskgit.py:21-38): token/pos embeddings,
+    3D ContinuousPositionBias (hidden dim = dim_head), Transformer with
+    cross-attention + 2 null KV, logits head WITH bias."""
+    sd = {
+        f"{prefix}token_emb.weight": t(cfg.num_tokens + 1, cfg.dim),
+        f"{prefix}pos_emb.weight": t(cfg.max_seq_len, cfg.dim),
+        f"{prefix}continuous_pos_bias.net.0.0.weight": t(cfg.dim_head, 3),
+        f"{prefix}continuous_pos_bias.net.0.0.bias": t(cfg.dim_head),
+        f"{prefix}continuous_pos_bias.net.1.0.weight": t(cfg.dim_head, cfg.dim_head),
+        f"{prefix}continuous_pos_bias.net.1.0.bias": t(cfg.dim_head),
+        f"{prefix}continuous_pos_bias.net.2.weight": t(cfg.heads, cfg.dim_head),
+        f"{prefix}continuous_pos_bias.net.2.bias": t(cfg.heads),
+        f"{prefix}to_logits.weight": t(cfg.num_tokens, cfg.dim),
+        f"{prefix}to_logits.bias": t(cfg.num_tokens),
+    }
+    sd.update(transformer_sd(f"{prefix}transformer", cfg, cfg.depth,
+                             cross=True, dim_context=cfg.dim_context))
+    return sd
+
+
+def test_convert_reference_ctgenerate_state_dict():
+    from ct_clip_ut_tpu.models import ctgenerate as ctgen_mod
+    from ct_clip_ut_tpu.models.ctgenerate import init_ctgenerate
+
+    sd = {}
+    sd.update(ctvit_sd("ctvit.", GEN_VIT))
+    # ctgenerate-mode first-frame patch embed (reference ctvit.py:37-42)
+    pd1 = GEN_VIT.first_frame_patch_dim
+    sd["ctvit.to_patch_emb_first_frame.1.weight"] = torch.ones(pd1)
+    sd["ctvit.to_patch_emb_first_frame.1.bias"] = torch.zeros(pd1)
+    sd["ctvit.to_patch_emb_first_frame.2.weight"] = t(GEN_VIT.dim, pd1)
+    sd["ctvit.to_patch_emb_first_frame.2.bias"] = t(GEN_VIT.dim)
+    sd["ctvit.to_patch_emb_first_frame.3.weight"] = torch.ones(GEN_VIT.dim)
+    sd["ctvit.to_patch_emb_first_frame.3.bias"] = torch.zeros(GEN_VIT.dim)
+    sd.update(maskgit_sd("maskgit.", MG))
+
+    params = ckpt.convert_ctgenerate({"model": sd}, GEN)
+
+    # pytree structure matches init_ctgenerate (minus the T5 tower, which
+    # lives in the HF checkpoint and converts separately)
+    init_p = init_ctgenerate(jax.random.PRNGKey(0), GEN)
+    init_p.pop("t5")
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(init_p))
+
+    # spot checks incl. transposes and the cross-attn null KV pairs
+    np.testing.assert_allclose(
+        np.asarray(params["maskgit"]["to_logits"]["w"]),
+        sd["maskgit.to_logits.weight"].numpy().T)
+    np.testing.assert_allclose(
+        np.asarray(params["maskgit"]["token_emb"]),
+        sd["maskgit.token_emb.weight"].numpy())
+    cross0 = params["maskgit"]["transformer"]["layers"][0]["cross_attn"]
+    assert cross0["null_kv"].shape == (MG.heads, 4, MG.dim_head)
+    assert cross0["to_kv"]["w"].shape == (MG.dim_context,
+                                          2 * MG.heads * MG.dim_head)
+
+    # and the converted pipeline runs: scan -> codebook ids -> MaskGit with
+    # cross-attention -> per-keyword attention slices
+    scan = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 5, 16, 16))
+    text_embed = jax.random.normal(jax.random.PRNGKey(2), (1, 6, MG.dim_context))
+    text_mask = jnp.ones((1, 6), bool)
+    out = ctgen_mod.ctgenerate_apply(params, GEN, scan, text_embed, text_mask,
+                                     {"kw": [1, 2]})
+    assert out.codebook_ids.shape == (1, 3, 2, 2)      # first frame + 4/2
+    assert out.cross_attention.shape == (1, MG.heads, 12, 6)
+    assert out.kw_attention["kw"].shape == (1, MG.heads, 12, 2)
+    assert np.isfinite(np.asarray(out.cross_attention)).all()
