@@ -43,12 +43,14 @@ REPS = int(os.environ.get("VQ_REPS", "3"))
 def _chained(tokens, cb, tm: int, tc: int, n: int):
     """n data-dependent kernel applications in one compiled program.
 
-    The carry adds 0 * idx[:, None] to the tokens — value-preserving but
-    opaque to XLA's CSE (idx feeds back), so all n runs execute."""
+    optimization_barrier ties each iteration's indices into the loop carry
+    (an `idx * 0` arithmetic dependency would be constant-folded and the
+    kernels dead-code-eliminated), so all n runs execute in sequence."""
 
     def body(_, tok):
         idx = vq_nearest_pallas(tok, cb, tm=tm, tc=tc)
-        return tok + (idx[:, None] * 0).astype(tok.dtype)
+        tok, _ = jax.lax.optimization_barrier((tok, idx))
+        return tok
 
     return jax.lax.fori_loop(0, n, body, tokens)
 
