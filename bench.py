@@ -383,12 +383,14 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
         integrated_gradients(params, cfg, one_tok, image, steps=IG_STEPS,
                              chunk=IG_CHUNK)
         ig_s = min(ig_s, time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    for _ in integrated_gradients_pipelined(
-            params, cfg, [(one_tok, image)] * IG_MAPS, steps=IG_STEPS,
-            chunk=IG_CHUNK):
-        pass
-    ig_pipe = (time.perf_counter() - t0) / IG_MAPS
+    ig_pipe = float("inf")
+    for _ in range(2):  # min-of-2 sweeps: relay fetch throughput varies
+        t0 = time.perf_counter()
+        for _ in integrated_gradients_pipelined(
+                params, cfg, [(one_tok, image)] * IG_MAPS, steps=IG_STEPS,
+                chunk=IG_CHUNK):
+            pass
+        ig_pipe = min(ig_pipe, (time.perf_counter() - t0) / IG_MAPS)
     out[f"ig{IG_STEPS}_seconds_per_map"] = round(ig_pipe, 2)
     out[f"ig{IG_STEPS}_seconds_per_map_serialized"] = round(ig_s, 2)
 
