@@ -11,7 +11,7 @@ script instead of a notebook.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Iterable, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

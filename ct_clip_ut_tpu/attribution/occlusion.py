@@ -25,7 +25,7 @@ TPU re-design (identical outputs):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

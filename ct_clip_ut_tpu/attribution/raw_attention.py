@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CTCLIPConfig
-from .capture import rot90_ct, score_and_weights, shiftmax
+from .capture import score_and_weights, shiftmax
 
 Array = jax.Array
 

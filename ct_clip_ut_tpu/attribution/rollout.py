@@ -17,7 +17,7 @@ Python; here both are single vmapped einsum chains.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Iterable, Optional, Sequence
+from typing import Any, Iterable, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -26,7 +26,7 @@ from . import integrated_gradients as ig
 from . import occlusion as occ_mod
 from . import raw_attention as ra
 from . import rollout as ro
-from .capture import rot90_ct, upsample_to
+from .capture import rot90_ct
 
 
 @dataclass

@@ -16,7 +16,6 @@ the fused C++ path (native/) is the production loader.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -24,7 +24,7 @@ from ..config import CTViTConfig
 from ..ops.layers import init_layernorm, init_linear, layernorm, linear
 from ..ops.posbias import continuous_pos_bias, init_continuous_pos_bias
 from ..ops.taps import NULL_TAPS, Taps
-from ..ops.transformer import TransformerAux, init_transformer, transformer
+from ..ops.transformer import init_transformer, transformer
 from ..ops.vq import VQState, init_vq, vq_apply
 
 Array = jax.Array

@@ -19,7 +19,6 @@ under @pl.when). Off-TPU the XLA twin remains the backward.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ buffers needed, unlike the reference's register_buffer dance).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

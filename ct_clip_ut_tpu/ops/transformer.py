@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..config import TransformerConfig
 from .attention import attention, init_attention

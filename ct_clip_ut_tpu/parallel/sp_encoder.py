@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CTCLIPConfig, CTViTConfig
-from ..ops.layers import feedforward, l2norm, layernorm, linear
+from ..ops.layers import feedforward, layernorm, linear
 from ..ops.posbias import continuous_pos_bias_stripe
 from .ring_attention import ring_cosine_attention
 

@@ -8,13 +8,11 @@ Env: PROF_BATCH (default 8), PROF_REMAT=1 to turn per-layer remat on.
 from __future__ import annotations
 
 import dataclasses
-import glob
 import os
 import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

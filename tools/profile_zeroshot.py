@@ -7,7 +7,6 @@ Usage: python tools/profile_zeroshot.py [trace_dir]
 
 from __future__ import annotations
 
-import glob
 import os
 import sys
 
