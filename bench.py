@@ -647,12 +647,20 @@ def main() -> None:
     })
     print(line)
     _arm_deadline_watchdog.finished.set()   # real line printed — disarm
+    if not extra.get("kernel_parity_ok", True):
+        raise SystemExit(
+            f"KERNEL PARITY FAILURE: {extra['kernel_parity_failures']}")
     # append to the committed measurement ledger so a successful run
     # survives even if a later driver invocation hits a dead chip — but only
-    # FULL runs: a sections-off experiment sweep must not become the newest
-    # record the dead-chip replay serves
-    if not (WITH_ATTRIBUTION and WITH_KERNEL_PARITY and WITH_TRAIN
-            and WITH_CTGEN):
+    # runs at the DEFAULT configuration: an experiment sweep (sections off,
+    # non-default batch/steps/windows) must not become the newest record the
+    # dead-chip replay serves
+    defaults = (WITH_ATTRIBUTION and WITH_KERNEL_PARITY and WITH_TRAIN
+                and WITH_CTGEN and WITH_OCC_FULL
+                and BATCH == 16 and STEPS == 10 and IG_STEPS == 50
+                and IG_MAPS == 3 and OCC_WINDOWS == 256 and TRAIN_BATCH == 8
+                and CTGEN_BATCH == 4)
+    if not defaults:
         return
     try:
         import datetime
@@ -665,9 +673,6 @@ def main() -> None:
         import sys
         print(f"WARNING: could not append BENCH_LOG.jsonl: {e!r}",
               file=sys.stderr)
-    if not extra.get("kernel_parity_ok", True):
-        raise SystemExit(
-            f"KERNEL PARITY FAILURE: {extra['kernel_parity_failures']}")
 
 
 if __name__ == "__main__":

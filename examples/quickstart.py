@@ -56,17 +56,23 @@ PREP = PreprocessConfig(target_shape_hwd=(32, 32, 16))
 
 
 class HashTokenizer:
-    """Deterministic offline stand-in for the CXR-BERT tokenizer."""
+    """Deterministic offline stand-in for the CXR-BERT tokenizer.
+
+    Uses crc32, not builtin hash(): hash() is salted per process
+    (PYTHONHASHSEED), which would make a saved checkpoint tokenize reports
+    differently on reload."""
 
     def __call__(self, texts, return_tensors="np", padding="max_length",
                  truncation=True, max_length=32):
+        import zlib
+
         if isinstance(texts, str):
             texts = [texts]
         max_length = min(max_length, 32)
         ids = np.zeros((len(texts), max_length), np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)
         for i, t in enumerate(texts):
-            toks = [101] + [hash(w) % 200 + 5
+            toks = [101] + [zlib.crc32(w.encode()) % 200 + 5
                             for w in t.split()][:max_length - 2] + [102]
             ids[i, :len(toks)] = np.asarray(toks) % 256
             mask[i, :len(toks)] = 1

@@ -61,6 +61,9 @@ def test_main_gates_ledger_append_on_full_runs():
     import bench
 
     src = inspect.getsource(bench.main)
+    parity = src.index("KERNEL PARITY FAILURE")
     gate = src.index("WITH_ATTRIBUTION and WITH_KERNEL_PARITY and WITH_TRAIN")
     append = src.index("BENCH_LOG.jsonl")
-    assert gate < append
+    # parity failure raises BEFORE the gated return (a sections-off run with
+    # a violation must still exit nonzero), and the gate precedes the append
+    assert parity < gate < append
