@@ -142,7 +142,27 @@ def feedforward(params, x: Array, *, dropout_rate: float = 0.0,
     GEGLU splits the doubled projection into (value, gate) halves and returns
     gelu(gate) * value — exact (erf) gelu, matching torch F.gelu
     (reference attention.py:38-41). On TPU (no dropout) the whole block runs
-    as one fused Pallas kernel (ops/pallas_ff.py)."""
+    as one fused Pallas kernel (ops/pallas_ff.py).
+
+    A W8A8-quantized param dict (ops/quant.quantize_ff_params — leaf names
+    wv_q/wg_q/w2_q) routes through the serving-only int8 kernel instead
+    (ops/pallas_ff_int8.py): 2x less FF weight memory, forward-only,
+    ~0.5 % block-output error — never produced by init_feedforward or the
+    converters, only by an explicit quantize_ctclip_ff call."""
+    if "wv_q" in params:
+        assert deterministic or dropout_rate == 0.0, \
+            "the int8 FF path is serving-only (no dropout)"
+        from .pallas_ff_int8 import geglu_ff_int8, xla_int8_reference
+        b, n, d = x.shape
+        flat = x.reshape(b * n, d)
+        args = (params["norm"]["gamma"], params["norm"]["beta"],
+                params["wv_q"], params["wg_q"], params["w2_q"],
+                params["sv"], params["sg"], params["s2"])
+        if jax.default_backend() == "tpu":
+            out = geglu_ff_int8(flat, *args, False, residual)
+        else:
+            out = xla_int8_reference(flat, *args, residual=residual)
+        return out.reshape(b, n, d)
     if use_pallas is None:
         import jax as _jax
         use_pallas = ((deterministic or dropout_rate == 0.0)

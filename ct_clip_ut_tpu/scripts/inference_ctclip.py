@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "equal the device count")
     p.add_argument("--occlusion-prompt", default="",
                    help="tag recorded in occlusion artifact filenames")
+    p.add_argument("--quantize-ff", action="store_true",
+                   help="serve the visual transformer's GEGLU FFs W8A8 "
+                        "(halves FF weight memory vs bf16, ~0.5%% block "
+                        "error; forward-only, so incompatible with "
+                        "gradient-based attribution; measured SLOWER than "
+                        "bf16 on the current TPU toolchain — a memory "
+                        "lever, see ops/pallas_ff_int8.py)")
     return p
 
 
@@ -67,6 +74,11 @@ def main(argv=None):
                          "--visualize occlusion")
         if not args.diff_embeds:
             parser.error("--occlusion-text-embeds requires --diff-embeds")
+    if args.quantize_ff:
+        grad_methods = {"integrated_gradients", "grad_cam"} & set(args.visualize)
+        if grad_methods:
+            parser.error("--quantize-ff is forward-only (the int8 kernel "
+                         "raises under AD); drop " + ", ".join(sorted(grad_methods)))
 
     # multi-host bring-up must happen before the first jax device query
     if args.multihost or (args.num_processes or 0) > 1:
@@ -87,8 +99,11 @@ def main(argv=None):
     model_cfg = CTCLIPConfig(ctvit=CTViTConfig(dim_head=32))
     tokenizer = BertTokenizer.from_pretrained(args.tokenizer, do_lower_case=True)
 
-    params = jax.device_put(ckpt.load_ctclip_params(args.checkpoint,
-                                                    model_cfg))
+    params = ckpt.load_ctclip_params(args.checkpoint, model_cfg)
+    if args.quantize_ff:
+        from ..ops.quant import quantize_ctclip_ff
+        params = quantize_ctclip_ff(params)
+    params = jax.device_put(params)
 
     ds = InferenceDataset(args.data_valid, args.valid_reports,
                           args.valid_metadata, args.valid_labels,

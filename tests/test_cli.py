@@ -71,6 +71,24 @@ def test_inference_parser_mesh_flags():
     assert args.num_processes is None and not args.multihost
 
 
+def test_inference_parser_quantize_ff():
+    base = ["--data-valid", "/d/v", "--valid-reports", "v.csv",
+            "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
+            "--checkpoint", "ck.pt"]
+    args = inference_ctclip.build_parser().parse_args(
+        base + ["--zero-shot", "--quantize-ff"])
+    assert args.quantize_ff
+    assert not inference_ctclip.build_parser().parse_args(base).quantize_ff
+    # forward-only: gradient-based attribution is rejected before any
+    # checkpoint/jax work (main()'s fast-fail validation)
+    with pytest.raises(SystemExit):
+        inference_ctclip.main(base + ["--quantize-ff",
+                                      "--visualize", "grad_cam"])
+    with pytest.raises(SystemExit):
+        inference_ctclip.main(base + ["--quantize-ff", "--visualize",
+                                      "integrated_gradients", "occlusion"])
+
+
 def test_inference_parser_rejects_unknown_method():
     with pytest.raises(SystemExit):
         inference_ctclip.build_parser().parse_args([
