@@ -101,6 +101,27 @@ def test_quantize_ctclip_ff_end_to_end_latents():
     assert (cos > 0.9).all(), cos
 
 
+def test_quantized_tree_param_specs_replicated():
+    """TP sharding rules key on leaf/parent names (parallel/sharding.py):
+    the quantized FF leaves (wv_q/... under parent 'ff') must fall through
+    to replicated P() — a mesh-sharded eval of a quantized tree places the
+    int8 weights whole on every device instead of mis-sharding them."""
+    from jax.sharding import PartitionSpec as P
+
+    from ct_clip_ut_tpu.models import ctclip as ctclip_mod
+    from ct_clip_ut_tpu.parallel import sharding as sh
+    from tests.test_models import SMALL_CLIP
+
+    params = quantize_ctclip_ff(ctclip_mod.init_ctclip(KEY, SMALL_CLIP))
+    specs = sh.param_specs(params)
+    ff0 = specs["visual_transformer"]["spatial"]["layers"][0]["ff"]
+    for leaf in ("wv_q", "wg_q", "w2_q", "sv", "sg", "s2"):
+        assert ff0[leaf] == P(), (leaf, ff0[leaf])
+    # the unquantized text tower keeps its TP specs
+    assert any(s != P() for s in jax.tree_util.tree_leaves(
+        specs["text_transformer"]))
+
+
 def test_int8_spatial_stack_continuous_error():
     """Pre-VQ (continuous) error through a full transformer stack — the real
     quantization-quality measure, no discrete argmin amplification."""
