@@ -90,11 +90,21 @@ class DataLoader:
         return tuple(out)
 
     def __iter__(self) -> Iterator:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator:
+        """Iterate skipping the first `start_batch` batches WITHOUT
+        preprocessing them — the mid-epoch resume path (train/trainer.py):
+        the skipped samples' indices never enter the worker queue, so
+        resuming at step k costs zero preprocessing for steps < k. The
+        yielded batches are exactly `list(loader)[start_batch:]` for the
+        sampler's current epoch."""
         order = self.sampler.indices()
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        batches = batches[start_batch:]
 
         sample_q: "queue.Queue" = queue.Queue()
         done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size

@@ -341,6 +341,14 @@ class CTClipTrainer:
         # (maybe_print, checkpoint + plot writes, CTClipTrainer.py:70,136-145)
         self.is_main = jax.process_index() == 0
 
+        # data-stream position for step-level resume: (epoch, batches
+        # consumed within it), updated by the train loop and persisted as a
+        # sidecar next to every checkpoint. The reference cannot resume at
+        # all (CTClipTrainer.py:136-145); epoch-level resume alone loses
+        # the sampler position of a mid-epoch --save-every-steps checkpoint.
+        self._pos = {"epoch": 0, "step_in_epoch": 0, "steps_per_epoch": None}
+        self._resume_pos = None
+
     def maybe_print(self, *args, **kwargs):
         if self.is_main:
             print(*args, **kwargs)
@@ -405,8 +413,18 @@ class CTClipTrainer:
             (self.results_folder / "architecture.json").write_text(
                 json.dumps({"model_cfg": repr(self.model_cfg),
                             "train_cfg": repr(self.cfg)}, indent=2))
+            # data-position sidecar: lets load_model resume EXACTLY at this
+            # step (sampler epoch + batches consumed). Atomic for the same
+            # reason the checkpoint write is.
+            pos_path = self.results_folder / (name + ".pos.json")
+            tmp = pos_path.with_name(pos_path.name + ".tmp")
+            tmp.write_text(json.dumps(self._pos))
+            tmp.replace(pos_path)
 
     def load_model(self, path):
+        pos_path = Path(str(path) + ".pos.json")
+        self._resume_pos = (json.loads(pos_path.read_text())
+                            if pos_path.exists() else None)
         if self.cfg.sharded_checkpoints:
             self.state = ckpt.load_checkpoint_sharded(path, self.state)
         else:
@@ -462,22 +480,47 @@ class CTClipTrainer:
         except TypeError:  # unsized iterable: log every step
             steps_per_epoch = None
             save_at = 1
-        # epoch-level resume: a restored full TrainState carries the global
-        # step counter (train/checkpoint.py — the reference's checkpoints
-        # store only model/optim and always restart, CTClipTrainer.py:136);
-        # completed epochs are skipped, a partial epoch is re-run from its
-        # start (the sampler reshuffle is a pure function of the epoch
-        # number, so the re-run sees the same batches).
+        # resume: a restored full TrainState carries the global step counter
+        # (train/checkpoint.py — the reference's checkpoints store only
+        # model/optim and always restart, CTClipTrainer.py:136-145). With a
+        # position sidecar (written by save_model) resume is STEP-level: the
+        # partial epoch restarts at its exact batch — the sampler order is a
+        # pure function of the epoch number and the skipped batches are never
+        # preprocessed (data/loader.iter_from). Without a sidecar
+        # (pre-sidecar checkpoint) it falls back to epoch-level: completed
+        # epochs are skipped, a partial epoch is re-run from its start.
         resumed_step = int(self.state.step)
-        done_epochs = 0
-        if resumed_step and steps_per_epoch:
+        start_epoch, resume_skip = 1, 0
+        if resumed_step and self._resume_pos:
+            pos = self._resume_pos
+            start_epoch = max(int(pos.get("epoch") or 1), 1)
+            resume_skip = int(pos.get("step_in_epoch") or 0)
+            saved_spe = pos.get("steps_per_epoch")
+            if saved_spe and steps_per_epoch and saved_spe != steps_per_epoch:
+                # the data stream changed shape since the save; the saved
+                # batch position is meaningless — restart the partial epoch
+                self.maybe_print(
+                    f"steps_per_epoch changed ({saved_spe} -> "
+                    f"{steps_per_epoch}); falling back to epoch-level resume")
+                resume_skip = 0
+            spe = steps_per_epoch or saved_spe
+            if spe and resume_skip >= spe:  # epoch completed: start the next
+                start_epoch += 1
+                resume_skip = 0
+            if start_epoch <= self.cfg.num_epochs:
+                self.maybe_print(
+                    f"Resuming at step {resumed_step}: epoch {start_epoch}"
+                    + (f", batch {resume_skip + 1}" if resume_skip else ""))
+        elif resumed_step and steps_per_epoch:
             done_epochs = min(resumed_step // steps_per_epoch,
                               self.cfg.num_epochs)
+            start_epoch = done_epochs + 1
             if done_epochs:
                 self.maybe_print(
                     f"Resuming at step {resumed_step}: skipping "
                     f"{done_epochs} completed epoch(s)")
-        for epoch in range(done_epochs + 1, self.cfg.num_epochs + 1):
+        for epoch in range(start_epoch, self.cfg.num_epochs + 1):
+            skip = resume_skip if epoch == start_epoch else 0
             epoch_start = time.time()
             # re-shuffle per epoch (reference train_sampler.set_epoch, :265)
             sampler = getattr(self.train_data, "sampler", None)
@@ -500,7 +543,21 @@ class CTClipTrainer:
                 self.maybe_print(f"Epoch {epoch} | Step {step} | Loss: {loss:.6f}")
                 return loss
 
-            for step, (images, texts) in enumerate(self.train_data, start=1):
+            if skip:
+                # mid-epoch resume: consume the epoch's deterministic batch
+                # order from position `skip` (loaders skip without
+                # preprocessing; generic iterables are drained via islice)
+                if hasattr(self.train_data, "iter_from"):
+                    data_iter = self.train_data.iter_from(skip)
+                else:
+                    import itertools
+                    data_iter = itertools.islice(
+                        iter(self.train_data), skip, None)
+            else:
+                data_iter = self.train_data
+            for step, (images, texts) in enumerate(data_iter, start=skip + 1):
+                self._pos = {"epoch": epoch, "step_in_epoch": step,
+                             "steps_per_epoch": steps_per_epoch}
                 # optional profiler window: steps [2, 2 + profile_steps)
                 # of epoch 1 (step 1 carries the compile; traces from
                 # tools/xplane.py or tensorboard read the dump)
@@ -531,7 +588,7 @@ class CTClipTrainer:
                         and int(self.state.step)
                         % self.cfg.save_every_steps == 0):
                     # periodic crash-recovery save (atomic write); resume
-                    # restarts at this state's epoch boundary
+                    # continues at exactly this step via the position sidecar
                     self.save_model("last_checkpoint.orbax"
                                     if self.cfg.sharded_checkpoints
                                     else "last_checkpoint.msgpack")
@@ -539,6 +596,10 @@ class CTClipTrainer:
                 log_step(*pending)
             self._stop_trace()  # epoch shorter than the profile window
 
+            # epoch complete: saves from here (best_checkpoint in evaluate)
+            # resume at the NEXT epoch's first batch
+            self._pos = {"epoch": epoch + 1, "step_in_epoch": 0,
+                         "steps_per_epoch": steps_per_epoch}
             avg = total_loss / max(steps, 1)
             self.train_losses["epochs"].append(avg)
             self.maybe_print(f"Epoch {epoch} done. Avg loss {avg:.6f} "

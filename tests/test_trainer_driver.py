@@ -187,3 +187,77 @@ def test_trainer_periodic_checkpoint(tmp_path):
                              results_folder=tmp_path / "b")
     trainer2.load_model(last)
     assert int(trainer2.state.step) in (2, 4)
+
+
+def test_trainer_step_level_resume_bitwise(tmp_path):
+    """Mid-epoch resume reproduces the uninterrupted run EXACTLY: a run
+    checkpointed at step 2 of a 3-step epoch 1, resumed into a 2-epoch
+    config, ends with the same TrainState bit-for-bit as the uninterrupted
+    2-epoch run (position sidecar + deterministic sampler order; the
+    reference cannot resume at all, CTClipTrainer.py:136-145)."""
+    def make(num_epochs, folder, save_every=0):
+        cfg = TrainConfig(lr=1e-3, num_epochs=num_epochs,
+                          compute_dtype="float32", text_max_length=16,
+                          save_every_steps=save_every, save_best_model=False)
+        return CTClipTrainer(SMALL_CLIP, cfg, HashTokenizer(),
+                             SizedFakeBatches(3, 2),
+                             FakeBatches(1, 2, with_labels=True),
+                             results_folder=tmp_path / folder)
+
+    # uninterrupted 2-epoch run: 6 steps
+    ref = make(2, "ref").train()
+    assert int(ref.step) == 6
+
+    # interrupted run: 1 epoch with a mid-epoch save at step 2
+    t1 = make(1, "partial", save_every=2)
+    t1.train()
+    last = t1.results_folder / "last_checkpoint.msgpack"
+    assert last.exists()
+    pos = __import__("json").loads((last.parent / (last.name + ".pos.json"))
+                                   .read_text())
+    assert pos == {"epoch": 1, "step_in_epoch": 2, "steps_per_epoch": 3}
+
+    # resume from step 2 into the 2-epoch config: runs batch 3 of epoch 1,
+    # then epoch 2 — final state must equal the uninterrupted run exactly
+    t2 = make(2, "resumed")
+    t2.load_model(last)
+    assert int(t2.state.step) == 2
+    out = t2.train()
+    assert int(out.step) == 6
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(out.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref.opt_state),
+                    jax.tree.leaves(out.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ref.rng), np.asarray(out.rng))
+
+
+def test_loader_iter_from_skips_preprocessing():
+    """DataLoader.iter_from(k) yields exactly list(loader)[k:] and never
+    touches the skipped samples (mid-epoch resume costs zero preprocessing
+    for the skipped prefix)."""
+    from ct_clip_ut_tpu.data.loader import DataLoader, ShardedSampler
+
+    touched = []
+
+    class Ds:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            touched.append(i)
+            return np.full((2, 2), i, np.float32), f"t{i}"
+
+    def mk():
+        return DataLoader(Ds(), batch_size=2,
+                          sampler=ShardedSampler(12, shuffle=True, seed=7),
+                          num_workers=2)
+
+    full = [b for b in mk()]
+    touched.clear()
+    tail = [b for b in mk().iter_from(4)]
+    assert len(tail) == len(full) - 4
+    for (ia, _), (ib, _) in zip(tail, full[4:]):
+        np.testing.assert_array_equal(ia, ib)
+    skipped = {int(v) for b in full[:4] for v in b[0][:, 0, 0]}
+    assert not (set(touched) & skipped), "skipped samples were preprocessed"
