@@ -60,10 +60,15 @@ CTGEN_BATCH = int(os.environ.get("CTCLIP_BENCH_CTGEN_BATCH", "4"))
 CTGEN_STEPS = int(os.environ.get("CTCLIP_BENCH_CTGEN_STEPS", "5"))
 TRAIN_STEPS = int(os.environ.get("CTCLIP_BENCH_TRAIN_STEPS", "5"))
 # bf16 kernels vs bf16 XLA twins: both sides round at 2^-8 per element and
-# the 512-576-length contractions accumulate; 3e-2 relative max-err is the
-# empirical bf16-scale band (fp32 interpret parity is pinned at 1e-5 by
-# tests/test_pallas.py)
-KERNEL_TOL = float(os.environ.get("CTCLIP_BENCH_KERNEL_TOL", "3e-2"))
+# the 512-576-length contractions accumulate; 1.5e-2 relative max-err is the
+# asserted band, ~1.7x above the worst measured kernel (attn_packed_bwd dx
+# at ~0.009 — two independent bf16 rounding chains, kernel transposed-
+# projection layout vs twin head-split layout; upgrading the dx/dw dots to
+# fp32 costs ~4x on those MXU ops for no training-relevant gain, and every
+# attribution map runs the fp32 parity_cfg XLA path, pinned <=1e-3 vs torch).
+# fp32 interpret parity is pinned at 1e-5 by tests/test_pallas.py, so the
+# gap is rounding, not math.
+KERNEL_TOL = float(os.environ.get("CTCLIP_BENCH_KERNEL_TOL", "1.5e-2"))
 
 
 def _probe_chip(deadline_s: float = 180.0) -> None:
@@ -347,8 +352,11 @@ def bench_attribution(params, cfg, image16, prompt_tokens) -> dict:
         return float(np.asarray(sp).ravel()[0]) + float(np.asarray(tm).ravel()[0])
 
     run_rollout()  # compile
-    times = [0.0] * 3
-    for i in range(3):
+    # 4 timed runs, min: the first 1-2 host upsamples page-fault their
+    # 221 MB output buffers (measured 1.0-1.4 s cold vs 0.11 s warm on an
+    # idle host); steady state is the production regime (many maps/run)
+    times = [0.0] * 4
+    for i in range(4):
         t0 = time.perf_counter()
         run_rollout()
         times[i] = time.perf_counter() - t0
