@@ -444,11 +444,13 @@ def occlusion_scores_slabbed(params, cfg: CTCLIPConfig, image: Array,
 def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
                       text_latent: Array, *,
                       occ: OcclusionConfig = OcclusionConfig(),
-                      chunk: int = 8):
+                      chunk: int = 8, mesh=None):
     """[D, H, W] numpy heatmap (pre-rot90): importance = relu(orig - occluded)
     accumulated over windows, count-normalized, min-max scaled, thresholded
     (reference visualizations.py:379-424). Scores run on device; assembly is
-    a cheap host op."""
+    a cheap host op. With `mesh` (data axis > 1, possibly process-spanning),
+    the window sweep shards over the mesh — the reference's per-rank
+    chunking + SUM reduce (visualizations.py:351-361, 407-409)."""
     import numpy as np
     D, H, W = image.shape[-3:]
     coords = window_grid((D, H, W), occ.patch_size, occ.stride)
@@ -456,8 +458,14 @@ def occlusion_heatmap(params, cfg: CTCLIPConfig, image: Array,
         (dim - p) // s + 1
         for dim, p, s in zip((D, H, W), occ.patch_size, occ.stride))
 
-    originals, scores = occlusion_scores_slabbed(
-        params, cfg, image, text_latent[None], coords, occ=occ, chunk=chunk)
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        originals, scores = occlusion_scores_multi_sharded(
+            params, cfg, image, text_latent[None], coords, mesh, occ=occ,
+            chunk=chunk)
+    else:
+        originals, scores = occlusion_scores_slabbed(
+            params, cfg, image, text_latent[None], coords, occ=occ,
+            chunk=chunk)
     importance = np.maximum(float(np.asarray(originals).ravel()[0])
                             - np.asarray(scores, np.float64)[:, 0], 0.0)
 
@@ -500,17 +508,23 @@ def occlusion_scores_multi(params, cfg: CTCLIPConfig, image: Array,
 def occlusion_heatmaps_multi(params, cfg: CTCLIPConfig, image: Array,
                              text_latents: Array, *,
                              occ: OcclusionConfig = OcclusionConfig(),
-                             chunk: int = 8):
+                             chunk: int = 8, mesh=None):
     """K [D, H, W] numpy heatmaps from ONE window sweep (see
-    occlusion_scores_multi)."""
+    occlusion_scores_multi). `mesh` shards the sweep's window axis (see
+    occlusion_heatmap)."""
     import numpy as np
     D, H, W = image.shape[-3:]
     coords = window_grid((D, H, W), occ.patch_size, occ.stride)
     grid_shape = tuple((dim - p) // s + 1
                        for dim, p, s in zip((D, H, W), occ.patch_size,
                                             occ.stride))
-    originals, scores = occlusion_scores_slabbed(
-        params, cfg, image, text_latents, coords, occ=occ, chunk=chunk)
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        originals, scores = occlusion_scores_multi_sharded(
+            params, cfg, image, text_latents, coords, mesh, occ=occ,
+            chunk=chunk)
+    else:
+        originals, scores = occlusion_scores_slabbed(
+            params, cfg, image, text_latents, coords, occ=occ, chunk=chunk)
     originals = np.asarray(originals, np.float64)        # [K]
     scores = np.asarray(scores, np.float64)              # [N, K]
 

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Iterable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,8 +40,9 @@ class AttributionContext:
     pathologies: Sequence[str] = PATHOLOGIES
     text_max_length: int = 512
     render_gifs: bool = True
-    # optional jax.sharding.Mesh: IG shards its interpolation steps over the
-    # mesh's data axis (integrated_gradients_sharded; ~n_dev x per map)
+    # optional jax.sharding.Mesh: IG shards its interpolation steps and
+    # occlusion its window sweeps over the mesh's data axis (which may span
+    # processes — the multi-host deployment mode); ~n_dev x per map
     mesh: Any = None
 
 
@@ -48,8 +50,39 @@ class Visualizations:
     def __init__(self, ctx: AttributionContext, results_folder):
         self.ctx = ctx
         self.results_folder = Path(results_folder)
+        # multi-process: process 0 is the reference's rank 0 — it owns the
+        # sample stream for collective methods and all artifact writes
+        # (reference visualizations.py:296-318, 411-424, 1141-1151)
+        self.is_main = jax.process_index() == 0
 
     # -- helpers -------------------------------------------------------------
+
+    @staticmethod
+    def _broadcast_sample(sample):
+        """Process-0's (image, text_tokens, labels, scan_name, path) to all
+        processes (reference _broadcast_sample, visualizations.py:296-318):
+        arrays ride broadcast_one_to_all; strings ride a fixed uint8 buffer."""
+        if jax.process_count() <= 1:
+            return sample
+        from jax.experimental import multihost_utils
+
+        image, text_tokens, labels, scan_name, path = sample
+
+        def bcast_str(s, width=512):
+            buf = np.zeros(width, np.uint8)
+            raw = str(s).encode()[:width]
+            buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+            out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            return bytes(out[out != 0]).decode()
+
+        image = multihost_utils.broadcast_one_to_all(np.asarray(image))
+        text_tokens = {k: multihost_utils.broadcast_one_to_all(np.asarray(v))
+                       for k, v in sorted(text_tokens.items())}
+        labels = np.asarray(
+            multihost_utils.broadcast_one_to_all(
+                np.asarray(labels, np.float32)))
+        return (jnp.asarray(image), text_tokens, labels,
+                bcast_str(scan_name), bcast_str(path))
 
     def _tokenize(self, text):
         enc = self.ctx.tokenizer(
@@ -153,8 +186,12 @@ class Visualizations:
     def occlusion(self, image, text_tokens, labels, scan_name, path,
                   occ: OcclusionConfig = OcclusionConfig(),
                   use_text_embeds: bool = False, prompt: str = ""):
-        out = viz.results_subdirectory(self.results_folder, "occlusion")
-        img = self._image_np(image)
+        # artifact dir + rendering inputs only on the writing process — the
+        # indexed-subdir pick (results_subdirectory) would race on a shared
+        # fs if every process counted and mkdir'd independently
+        if self.is_main:
+            out = viz.results_subdirectory(self.results_folder, "occlusion")
+            img = self._image_np(image)
 
         if use_text_embeds:
             if not self.ctx.diff_embeds:
@@ -172,8 +209,11 @@ class Visualizations:
                     jnp.asarray(self.ctx.diff_embeds[p], jnp.float32))
                 for p in positives])
             heats = occ_mod.occlusion_heatmaps_multi(
-                self.ctx.params, self.ctx.cfg, image, latents, occ=occ)
+                self.ctx.params, self.ctx.cfg, image, latents, occ=occ,
+                mesh=self.ctx.mesh)
             heatmaps = {p: rot90_ct(h) for p, h in zip(positives, heats)}
+            if not self.is_main:   # replicated result; rank-0 writes
+                return heatmaps    # (reference visualizations.py:411-424)
             np.save(out / (f"{scan_name}_{occ.patch_size}_{occ.stride}_"
                            f"{prompt}_heatmaps.npy"), heatmaps)  # dict, like ref
             if self.ctx.render_gifs:
@@ -195,7 +235,10 @@ class Visualizations:
         latent = occ_mod.report_text_latent(self.ctx.params, self.ctx.cfg,
                                             text_tokens)
         heat = rot90_ct(occ_mod.occlusion_heatmap(
-            self.ctx.params, self.ctx.cfg, image, latent, occ=occ))
+            self.ctx.params, self.ctx.cfg, image, latent, occ=occ,
+            mesh=self.ctx.mesh))
+        if not self.is_main:       # replicated result; rank-0 writes
+            return heat
         np.save(out / f"{scan_name}_{prompt}_heatmap.npy", heat)
         if self.ctx.render_gifs:
             viz.visualize_overlay(img, heat, scan_name, "Occlusion",
@@ -209,14 +252,22 @@ class Visualizations:
                "integrated_gradients", "grad_cam", "occlusion")
 
     def visualize(self, **flags):
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # all processes enter the suite together (reference barrier,
+            # visualizations.py:1093-1094)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("attribution_suite_start")
         for name, enabled in flags.items():
             if not enabled:
                 continue
             if name not in self.METHODS:
-                print(f"{name} is not a valid visualization argument.")
+                if self.is_main:
+                    print(f"{name} is not a valid visualization argument.")
                 continue
             method = getattr(self, name)
-            print(f"{name} visualization started.")
+            if self.is_main:
+                print(f"{name} visualization started.")
             start = time.time()
 
             def prepared():
@@ -239,10 +290,19 @@ class Visualizations:
                 self.integrated_gradients_worklist(
                     (img, tok, nm) for img, tok, _, nm, _ in prepared())
             else:
-                for image, text_tokens, labels, scan_name, path in prepared():
+                for sample in prepared():
+                    if name == "occlusion" and multiproc:
+                        # occlusion is COLLECTIVE across processes: every
+                        # rank sweeps a shard of process-0's sample's windows
+                        # (reference visualizations.py:296-318, 1141-1151).
+                        # The per-process data streams must therefore have
+                        # equal length (ShardedSampler pads to equal shards).
+                        sample = self._broadcast_sample(sample)
+                    image, text_tokens, labels, scan_name, path = sample
                     kwargs = {}
                     if name == "occlusion" and isinstance(enabled, dict):
                         kwargs = enabled
                     method(image, text_tokens, labels, scan_name, path,
                            **kwargs)
-            print(f"{name} completed in {time.time() - start:.1f}s")
+            if self.is_main:
+                print(f"{name} completed in {time.time() - start:.1f}s")

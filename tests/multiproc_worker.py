@@ -271,6 +271,58 @@ def main() -> None:
     assert np.isfinite(float(jax.device_get(ep_aux)))
     result["ep_err"] = float(np.abs(ep_np - dense_ff).max())
 
+    # ---- multi-process attribution suite: collective occlusion -----------
+    # the reference's occlusion deployment mode (visualizations.py:296-318,
+    # 404-424, 1141-1151): every rank enters the suite, process-0's sample
+    # is broadcast, the window sweep shards over the PROCESS-SPANNING mesh,
+    # and only rank 0 writes artifacts. Pinned here against the dense
+    # single-process heatmap of the same sample.
+    from ct_clip_ut_tpu.attribution import occlusion as occ_mod
+    from ct_clip_ut_tpu.attribution.suite import (AttributionContext,
+                                                  Visualizations)
+    from ct_clip_ut_tpu.config import OcclusionConfig
+
+    params_host = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    # DIFFERENT image per process: only process 0's may reach the sweep
+    local_img = (images_global[:1] if pid == 0
+                 else np.full_like(images_global[:1], 7.0))
+    text = "multi process occlusion effusion"
+    occ_cfg = OcclusionConfig(patch_size=(10, 16, 16), stride=(5, 8, 8),
+                              fill_value=-1.0, threshold=0.0)
+    attr_dir = os.path.join(out_dir, "attr")
+    ctx = AttributionContext(
+        params=params_host, cfg=SMALL_CLIP, tokenizer=HashTokenizer(),
+        data=[(local_img, text, np.zeros((18,), np.float32),
+               f"scan{pid}", f"/p{pid}")],
+        render_gifs=False, text_max_length=16, mesh=mesh)
+    vis = Visualizations(ctx, attr_dir)
+    assert vis.is_main == (pid == 0)
+    vis.visualize(occlusion={"occ": occ_cfg})
+
+    # rank gating: exactly process 0 wrote the map — under the scan name
+    # broadcast from process 0 (scan0), on both processes' view of the fs
+    maps = list(__import__("pathlib").Path(attr_dir).rglob("*.npy"))
+    if pid == 0:
+        assert len(maps) == 1 and "scan0" in maps[0].name, maps
+    else:
+        assert maps == [] or all("scan0" in m.name for m in maps), maps
+
+    # numerical pin: the 2-process window-sharded map equals the dense
+    # single-process map of PROCESS 0's sample (both ranks can check — the
+    # sharded result is replicated)
+    img0 = np.asarray(multihost_utils.broadcast_one_to_all(local_img))
+    tok0 = vis._tokenize(text)
+    latent0 = occ_mod.report_text_latent(params_host, SMALL_CLIP, tok0)
+    dense = occ_mod.occlusion_heatmap(params_host, SMALL_CLIP,
+                                      jnp.asarray(img0), latent0,
+                                      occ=occ_cfg)
+    from ct_clip_ut_tpu.attribution.capture import rot90_ct
+    dense = rot90_ct(dense)
+    if pid == 0:
+        saved = np.load(maps[0])
+        np.testing.assert_allclose(saved, dense, atol=1e-5)
+    result["mp_occlusion_ok"] = True
+
     with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as f:
         json.dump(result, f)
     print(json.dumps(result))
