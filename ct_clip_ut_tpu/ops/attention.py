@@ -93,9 +93,11 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
                    and (deterministic or cfg.dropout == 0.0) and _pallas_ok())
         # short sequences (the temporal transformer's t=24): head-packed
         # fused block — one [n*h, n*h] masked attention per sequence instead
-        # of h tiny [n, n] matmuls (ops/pallas_attn_packed.py)
-        if (fusable and attn_bias is None and n_ < 128
-                and n_ * h <= 1024 and x.shape[0] % 2 == 0):
+        # of h tiny [n, n] matmuls (ops/pallas_attn_packed.py). The
+        # `x.shape[0] % 2 == 0` gate is a SHAPE RESTRICTION of the packed
+        # kernel's sequence blocking (_pick_rows needs r >= 2 to divide the
+        # batch); odd-batch callers silently take the slower per-head path
+        # below — every production shape here is even (b*h*w or b*t).
             from .pallas_attn_packed import attention_block_packed
             wkv = params["to_kv"]["w"]
             dt = x.dtype
