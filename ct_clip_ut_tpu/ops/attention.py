@@ -98,6 +98,8 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
         # kernel's sequence blocking (_pick_rows needs r >= 2 to divide the
         # batch); odd-batch callers silently take the slower per-head path
         # below — every production shape here is even (b*h*w or b*t).
+        if (fusable and attn_bias is None and n_ < 128
+                and n_ * h <= 1024 and x.shape[0] % 2 == 0):
             from .pallas_attn_packed import attention_block_packed
             wkv = params["to_kv"]["w"]
             dt = x.dtype

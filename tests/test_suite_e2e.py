@@ -191,3 +191,47 @@ def test_diff_embedding_pipeline(fake_env, tmp_path):
     save_diff_embeddings(embeds, tmp_path / "diff.npy")
     back = load_diff_embeddings(tmp_path / "diff.npy")
     np.testing.assert_allclose(back["a"], embeds["a"])
+
+
+def test_load_real_reference_diff_embeddings():
+    """The genuine committed resource (reference
+    src/resources/pathology_diff_embeddings.npy, built by
+    notebooks/embedding_arithmetic.ipynb) loads through our loader with the
+    documented schema — 17 pathologies (the 18 minus 'Lung nodule', as the
+    reference shipped it), 768-d float32 — and a vector pushes through
+    diff_embedding_latent to a finite unit-norm latent."""
+    import os
+
+    path = "/root/reference/src/resources/pathology_diff_embeddings.npy"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference resource not mounted")
+    import jax
+    import jax.numpy as jnp
+    from ct_clip_ut_tpu.attribution.embedding_arithmetic import \
+        load_diff_embeddings
+    from ct_clip_ut_tpu.attribution.occlusion import diff_embedding_latent
+    from ct_clip_ut_tpu.config import (PATHOLOGIES, BertConfig, CTCLIPConfig,
+                                       CTViTConfig)
+    from ct_clip_ut_tpu.models.ctclip import init_ctclip
+
+    embeds = load_diff_embeddings(path)
+    assert len(embeds) == 17
+    assert set(embeds) <= set(PATHOLOGIES)
+    for v in embeds.values():
+        assert v.shape == (768,) and v.dtype == np.float32
+
+    cfg = CTCLIPConfig(dim_text=768, dim_image=4 * 4 * 16, dim_latent=8,
+                       ctvit=CTViTConfig(dim=16, codebook_size=32,
+                                         image_size=32, patch_size=8,
+                                         temporal_patch_size=10,
+                                         spatial_depth=1, temporal_depth=1,
+                                         dim_head=4, heads=4),
+                       bert=BertConfig(hidden_size=768, num_layers=1,
+                                       num_heads=4, intermediate_size=64))
+    params = init_ctclip(jax.random.PRNGKey(0), cfg)
+    lat = diff_embedding_latent(params, cfg,
+                                jnp.asarray(embeds["Cardiomegaly"]))
+    lat = np.asarray(lat)
+    assert lat.shape == (8,) and np.isfinite(lat).all()
+    np.testing.assert_allclose(np.linalg.norm(lat), 1.0, atol=1e-5)
