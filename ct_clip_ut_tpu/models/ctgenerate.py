@@ -79,6 +79,10 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
             params["maskgit"], cfg.maskgit, ids, text_embed,
             video_patch_shape, text_mask=text_mask, video_mask=None,
             return_embeds=return_embeds, weights="last_cross",
+            # 1 grid frame (64 tokens) per query block: measured BEST on
+            # v5e at b=4 (8.0 scans/s vs 6.0 at 8 frames — the score/bias
+            # HBM traffic is block-size-invariant and bigger fp32 score
+            # buffers only add pressure; see docs/ROADMAP.md round 4)
             self_attn_block=h_ * w_)
     else:
         mg = maskgit_apply(

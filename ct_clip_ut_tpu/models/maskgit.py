@@ -23,6 +23,12 @@ from ..ops.layers import init_linear, linear
 from ..ops.posbias import continuous_pos_bias, init_continuous_pos_bias
 from ..ops.transformer import init_transformer, transformer
 
+# blockwise mode builds the layer-shared CPB bias table once per forward
+# when it fits under this cap (1.3 GB at the flagship 101x8x8 grid) —
+# per-scan-step stripe rebuilds measured 2/3 of the attention cost. Past
+# the cap, stripes keep bias memory O(q_block * n).
+_BIAS_TABLE_MAX_BYTES = 2 * 1024**3
+
 Array = jax.Array
 
 
@@ -72,29 +78,45 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     a = cfg.gradient_shrink_alpha
     x = x * a + jax.lax.stop_gradient(x) * (1.0 - a)
 
-    # blockwise self-attention (long-context mode): stream the 3D CPB per
-    # key block instead of materializing the [heads, n, n] table (~1.3 GB
-    # fp32 at the 101x8x8 flagship grid). Weights-free paths only; requires
-    # no video mask and a block that tiles whole first-axis rows.
+    # blockwise self-attention (long-context mode): q-row-block scan over
+    # the scores (never a [b, heads, n, n] score tensor — 5.3 GB fp32 at
+    # the 101x8x8 grid, batch 4) with the bias read per stripe. The q-row
+    # path's per-stripe softmax is full-row, so outputs equal the dense
+    # path exactly. Weights-free paths only; requires no video mask and a
+    # block that tiles whole first-axis rows.
+    #
+    # Bias sourcing: the CPB table is LAYER-SHARED and batch-independent
+    # ([heads, n, n] fp32 = 1.3 GB at the flagship grid), so up to
+    # _BIAS_TABLE_MAX_BYTES it is built ONCE per forward and row-sliced
+    # inside each layer's scan — rebuilding stripes per scan step from the
+    # offset table measured 66 of 99 ms per layer-apply (2/3 of the whole
+    # attention cost, x6 layers). Past the cap (beyond-flagship grids)
+    # the per-step stripe builder keeps memory O(q_block * n).
     bias_fn = None
     attn_bias = None
     if self_attn_block is not None:
-        from ..ops.posbias import (continuous_pos_bias_col_stripe3,
-                                   cpb_offset_table)
         d1, d2, d3 = video_patch_shape
         assert video_mask is None, "blockwise MaskGit has no video mask"
         assert weights in ("last_cross", "none"), \
             "self-attention weights are not observable blockwise"
         assert self_attn_block % (d2 * d3) == 0, (self_attn_block, d2, d3)
-        # MLP over the distinct offsets once per forward; each key block
-        # only pays the one-hot selection inside the scan
-        cpb_table = cpb_offset_table(params["continuous_pos_bias"],
-                                     (d1, d2, d3))
+        heads = cfg.heads
+        if heads * n * n * 4 <= _BIAS_TABLE_MAX_BYTES:
+            from ..ops.posbias import continuous_pos_bias_grouped3
+            attn_bias = continuous_pos_bias_grouped3(
+                params["continuous_pos_bias"], d1, d2, d3)   # [h, n, n]
+        else:
+            from ..ops.posbias import (continuous_pos_bias_row_stripe3,
+                                       cpb_offset_table)
+            # MLP over the distinct offsets once per forward; each query
+            # block pays the one-hot selection inside the scan
+            cpb_table = cpb_offset_table(params["continuous_pos_bias"],
+                                         (d1, d2, d3))
 
-        def bias_fn(col0):
-            return continuous_pos_bias_col_stripe3(
-                None, d1, d2, d3, col0 // (d2 * d3),
-                self_attn_block // (d2 * d3), table=cpb_table)
+            def bias_fn(row0):
+                return continuous_pos_bias_row_stripe3(
+                    None, d1, d2, d3, row0 // (d2 * d3),
+                    self_attn_block // (d2 * d3), table=cpb_table)
     else:
         attn_bias = continuous_pos_bias(
             params["continuous_pos_bias"], *video_patch_shape)  # [h, n, n]

@@ -120,3 +120,84 @@ def blockwise_cosine_attention(params, cfg: AttentionConfig, x: Array, *,
     out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.inner_dim)
     out = linear(params["to_out"], out)
     return out + x if residual else out
+
+
+def blockwise_cosine_attention_qrows(params, cfg: AttentionConfig, x: Array,
+                                     *, q_block: int,
+                                     attn_bias: Optional[Array] = None,
+                                     bias_row_fn: Optional[
+                                         Callable[[Array], Array]] = None,
+                                     deterministic: bool = True,
+                                     residual: bool = False) -> Array:
+    """QUERY-row-block cosine attention: scan over q stripes with a FULL
+    softmax per stripe (every key visible), O(q_block * n) score memory and
+    NO running-softmax carries.
+
+    Why this exists next to `blockwise_cosine_attention`: the kv-block
+    online-softmax scan carries full-length (max, denom, accumulator)
+    state — [b, h, n, dh+2] fp32 copied and rescaled every step. At the
+    MaskGit flagship grid (6,464 tokens, batch 4) that carry traffic was
+    ~70% of CTGenerate's device time (while + copy + add in the xplane
+    trace). Per q stripe here the only intermediate is the [b, h, q_block,
+    n] score block, softmaxed once — math identical to the dense op (same
+    full-row softmax, no rescaling chain), so parity is exact, not
+    tolerance-tested.
+
+    `bias_row_fn` maps a TOKEN row start (int32 scalar, multiple of
+    q_block) to the [heads, q_block, n] bias ROW stripe
+    (posbias.continuous_pos_bias_row_stripe3 for the MaskGit 3D grid).
+    `n` need not divide by q_block: q is zero-padded, padded rows attend
+    harmlessly (finite scores/bias, full-row softmax) and their outputs
+    are dropped."""
+    assert not cfg.causal and cfg.num_null_kv == 0, \
+        "qrows path covers the MaskGit self-attention shape"
+    assert cfg.dropout == 0.0 or deterministic, \
+        "qrows path does not implement dropout (training mode)"
+    assert attn_bias is None or bias_row_fn is None, \
+        "pass either a dense bias or a bias_row_fn, not both"
+    b, n, _ = x.shape
+    h, dh = cfg.heads, cfg.dim_head
+    f32 = jnp.float32
+    pad = (-n) % q_block
+    nb = (n + pad) // q_block
+
+    xn = layernorm(params["norm"], x)
+    q = linear(params["to_q"], xn)
+    kv = linear(params["to_kv"], x)    # k/v from PRE-norm x (reference)
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, t.shape[1], h, dh).transpose(0, 2, 1, 3)
+
+    q = l2norm(split_heads(q)) * params["q_scale"].astype(x.dtype)
+    k = l2norm(split_heads(k)) * params["k_scale"].astype(x.dtype)
+    v = split_heads(v)
+
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    q_blocks = q.reshape(b, h, nb, q_block, dh).transpose(2, 0, 1, 3, 4)
+    if attn_bias is not None and pad:
+        attn_bias = jnp.pad(attn_bias, ((0, 0), (0, pad), (0, 0)))
+
+    def step(_, inputs):
+        j, q_blk = inputs
+        scores = jnp.einsum("bhid,bhjd->bhij", q_blk, k,
+                            preferred_element_type=f32) * cfg.scale
+        if attn_bias is not None:
+            blk = jax.lax.dynamic_slice(
+                attn_bias, (0, j * q_block, 0), (h, q_block, n))
+            scores = scores + blk.astype(f32)[None]
+        elif bias_row_fn is not None:
+            scores = scores + bias_row_fn(j * q_block).astype(f32)[None]
+        p = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhij,bhjd->bhid", p, v.astype(f32),
+                       preferred_element_type=f32)
+        return None, o.astype(x.dtype)
+
+    _, o = jax.lax.scan(
+        step, None, (jnp.arange(nb, dtype=jnp.int32), q_blocks))
+    # [nb, b, h, q_block, dh] -> [b, n, inner]
+    o = o.transpose(1, 2, 0, 3, 4).reshape(b, h, nb * q_block, dh)
+    out = o[:, :, :n].transpose(0, 2, 1, 3).reshape(b, n, cfg.inner_dim)
+    out = linear(params["to_out"], out)
+    return out + x if residual else out

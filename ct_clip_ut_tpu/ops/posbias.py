@@ -226,6 +226,109 @@ def continuous_pos_bias_col_stripe(params, d1: int, d2: int, col_start,
                               log_dist, table)
 
 
+def continuous_pos_bias_grouped3(params, d1: int, d2: int, d3: int,
+                                 log_dist: bool = True) -> Array:
+    """[heads, n, n] 3D CPB table built FRAME-GROUPED: the within-frame
+    (d2, d3) pair axes expand first into one m = d2*d3 axis, then frames
+    expand through a single one-hot contraction — every intermediate keeps
+    a minor axis >= m.
+
+    Why not `continuous_pos_bias`: its generic per-axis expansion routes
+    the final relayout through a [heads, d1, d2, d3, d1, d2, d3] transpose
+    whose minor (8, 8) axes lane-pad 8 -> 128 under T(8, 128) tiling —
+    21 GB at the MaskGit 101x8x8 grid (observed compile-time HBM OOM).
+    Here the worst intermediate is [heads, d1, m, d1, m] with minor m = 64
+    (2x pad), ~2.7 GB transient; the result is float-identical (same
+    one-hot selections of the same offset table)."""
+    f32 = jnp.float32
+    table = cpb_offset_table(params, (d1, d2, d3), log_dist)
+    o1 = 2 * d1 - 1
+    heads = table.shape[-1]
+    m = d2 * d3
+    t = table                                  # [o1, 2d2-1, 2d3-1, heads]
+    for ax, d in ((1, d2), (2, d3)):           # within-frame pair grids
+        ar = jnp.arange(d)
+        rel = ar[:, None] - ar[None, :] + (d - 1)
+        sel = jax.nn.one_hot(rel.reshape(-1), 2 * d - 1, dtype=f32)
+        t = jnp.moveaxis(
+            jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=(1, 0)), 0, ax)
+    # [o1, (q2 k2), (q3 k3), heads] -> [heads, o1, (q2 q3), (k2 k3)]
+    t = t.reshape(o1, d2, d2, d3, d3, heads).transpose(5, 0, 1, 3, 2, 4)
+    t = t.reshape(heads, o1, m, m)
+
+    fr = jnp.arange(d1)
+    rel0 = fr[:, None] - fr[None, :] + (d1 - 1)          # [fq, fk]
+    sel0 = jax.nn.one_hot(rel0.reshape(-1), o1, dtype=f32)
+    tq = t.transpose(0, 2, 3, 1)                         # [h, q, k, o1]
+    full = jax.lax.dot_general(tq, sel0, (((3,), (1,)), ((), ())))
+    full = full.reshape(heads, m, m, d1, d1).transpose(0, 3, 1, 4, 2)
+    return full.reshape(heads, d1 * m, d1 * m)
+
+
+def _cpb_row_stripe_nd(params, dims, row_start, row_len: int,
+                       log_dist: bool, table: Optional[Array]) -> Array:
+    """Shared N-D ROW-stripe builder: the queries whose FIRST-AXIS rows are
+    [row_start, row_start + row_len) against all keys. Returns
+    [heads, row_len * prod(dims[1:]), prod(dims)]. Out-of-range query rows
+    (q-block padding past dims[0]) still produce FINITE bias rows (legal
+    relative offsets select real table entries; only offsets past the
+    table drop to zero via one_hot) — safe because the qrows attention
+    discards padded rows' outputs."""
+    f32 = jnp.float32
+    if table is None:
+        table = cpb_offset_table(params, dims, log_dist)
+    heads = table.shape[-1]
+    t = table
+    d1, rest = dims[0], dims[1:]
+
+    # axis 0: queries restricted to the stripe rows, keys full
+    rows = row_start + jnp.arange(row_len)
+    rel0 = rows[:, None] - jnp.arange(d1)[None, :] + (d1 - 1)  # [m, d1]
+    sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
+    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(m d1), ..., heads]
+
+    for ax, d in enumerate(rest, start=1):       # full pair grids
+        ar = jnp.arange(d)
+        rel = ar[:, None] - ar[None, :] + (d - 1)
+        sel = jax.nn.one_hot(rel.reshape(-1), 2 * d - 1, dtype=f32)
+        t = jnp.moveaxis(
+            jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=(1, 0)), 0, ax)
+
+    # t: [(m d1), (d2 d2), ..., heads] with (q, k) pair order per axis
+    c = len(dims)
+    pair_shape = [row_len, d1]
+    for d in rest:
+        pair_shape += [d, d]
+    t = t.reshape(pair_shape + [heads])
+    # -> [heads, m, q2.., qc, d1, k2.., kc]
+    perm = ([2 * c] + [2 * k for k in range(c)]
+            + [2 * k + 1 for k in range(c)])
+    t = t.transpose(perm)
+    n = 1
+    for d in dims:
+        n *= d
+    blk = row_len
+    for d in rest:
+        blk *= d
+    return t.reshape(heads, blk, n)
+
+
+def continuous_pos_bias_row_stripe3(params, d1: int, d2: int, d3: int,
+                                    row_start, row_len: int,
+                                    log_dist: bool = True,
+                                    table: Optional[Array] = None) -> Array:
+    """3D ROW stripe of the CPB table: [heads, row_len*d2*d3, d1*d2*d3] —
+    the query tokens whose FIRST-AXIS rows are [row_start, row_start +
+    row_len) against ALL keys. Equal to the matching row slice of
+    continuous_pos_bias(params, d1, d2, d3) without materializing [N, N];
+    the query-block counterpart of `continuous_pos_bias_col_stripe3` for
+    the q-row-block attention (ops/attention_blockwise.py
+    blockwise_cosine_attention_qrows). `row_start` may be traced; pass
+    `table=cpb_offset_table(...)` when calling inside a scan body."""
+    return _cpb_row_stripe_nd(params, (d1, d2, d3), row_start, row_len,
+                              log_dist, table)
+
+
 def continuous_pos_bias_col_stripe3(params, d1: int, d2: int, d3: int,
                                     col_start, col_len: int,
                                     log_dist: bool = True,

@@ -74,13 +74,17 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
     visualizations.py:153-218).
 
     self_attn_block / self_attn_bias_fn: route self-attention through the
-    blockwise online-softmax path (ops/attention_blockwise.py) with the
-    additive bias streamed per key block — for long token grids (MaskGit's
-    6,464 tokens) where the dense [heads, n, n] scores/bias are the memory
-    wall. Self-attention weights are not observable on this path, so it
-    requires return_weights=False, no self-attention taps, and no mask
-    (asserted — never a silent semantics change). Cross-attention (short
-    context) stays dense."""
+    query-row-block path (ops/attention_blockwise.py
+    blockwise_cosine_attention_qrows) with the additive bias streamed as
+    ROW stripes per query block — self_attn_bias_fn maps a token row start
+    to the [heads, self_attn_block, n] stripe. For long token grids
+    (MaskGit's 6,464 tokens) where the dense [heads, n, n] scores/bias are
+    the memory wall; per-stripe softmax is FULL-row, so outputs equal the
+    dense path exactly (the kv-block online-softmax variant's full-length
+    carries cost ~70% of CTGenerate device time). Self-attention weights
+    are not observable on this path, so it requires return_weights=False,
+    no self-attention taps, and no mask (asserted — never a silent
+    semantics change). Cross-attention (short context) stays dense."""
     self_weights = []
     cross_weights = []
 
@@ -104,11 +108,11 @@ def transformer(params, cfg: TransformerConfig, x: Array, *,
                 raise ValueError(
                     "self-attention weights requested (taps) on the "
                     "blockwise path — they are not observable there")
-            from .attention_blockwise import blockwise_cosine_attention
-            out = blockwise_cosine_attention(
+            from .attention_blockwise import blockwise_cosine_attention_qrows
+            out = blockwise_cosine_attention_qrows(
                 layer["self_attn"], cfg.self_attn(), x,
-                block=self_attn_block, attn_bias=attn_bias,
-                bias_fn=self_attn_bias_fn, deterministic=deterministic,
+                q_block=self_attn_block, attn_bias=attn_bias,
+                bias_row_fn=self_attn_bias_fn, deterministic=deterministic,
                 residual=residual)
             return out, None
         return attention(

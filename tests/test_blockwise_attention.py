@@ -138,3 +138,108 @@ def test_blockwise_memory_no_dense_scores(setup):
     assert any(s[-2:] == (n, block) for s in shapes if len(s) >= 2)
     for s in shapes:
         assert not (len(s) >= 2 and s[-1] == n and s[-2] == n), s
+
+
+# ---------------------------------------------------------------------------
+# query-row-block path (the MaskGit long-context serving route)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("residual", [False, True])
+@pytest.mark.parametrize("q_block", [16, 24])   # 24 does not divide n=64
+def test_qrows_matches_dense(setup, residual, q_block):
+    """blockwise_cosine_attention_qrows == dense, including the padded-q
+    tail when q_block does not divide n."""
+    from ct_clip_ut_tpu.ops.attention_blockwise import \
+        blockwise_cosine_attention_qrows
+    params, x, bias = setup
+    want = attention(params, CFG, x, attn_bias=bias, residual=residual,
+                     return_weights=False, use_pallas=False).out
+    got = jax.jit(lambda p, xx, bb: blockwise_cosine_attention_qrows(
+        p, CFG, xx, q_block=q_block, attn_bias=bb, residual=residual))(
+            params, x, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_cpb_row_stripe3_matches_full_table():
+    """3D ROW stripes equal the dense table's row slices (multi-row blocks
+    included); out-of-range rows (q padding) come back all-zero."""
+    from ct_clip_ut_tpu.ops.posbias import (continuous_pos_bias_row_stripe3,
+                                            cpb_offset_table)
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(4), 32, CFG.heads,
+                                   num_dims=3)
+    d1, d2, d3 = 4, 2, 3
+    full = continuous_pos_bias(cpb, d1, d2, d3)
+    table = cpb_offset_table(cpb, (d1, d2, d3))
+    for r0, m in ((0, 2), (1, 3), (3, 1)):
+        want = full[:, r0 * d2 * d3:(r0 + m) * d2 * d3, :]
+        got = continuous_pos_bias_row_stripe3(cpb, d1, d2, d3, r0, m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+        got_t = continuous_pos_bias_row_stripe3(None, d1, d2, d3, r0, m,
+                                                table=table)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want),
+                                   atol=1e-6)
+    # padded rows past the grid: finite bias (legal offsets still select
+    # table rows; the qrows path drops those query rows' outputs entirely)
+    over = continuous_pos_bias_row_stripe3(cpb, d1, d2, d3, d1, 2)
+    assert np.isfinite(np.asarray(over)).all()
+
+
+def test_qrows_bias_row_fn_cpb(setup):
+    """bias_row_fn streaming 3D CPB row stripes == dense bias — the
+    MaskGit routing (models/maskgit.py), full table never materialized."""
+    from ct_clip_ut_tpu.ops.attention_blockwise import \
+        blockwise_cosine_attention_qrows
+    from ct_clip_ut_tpu.ops.posbias import (continuous_pos_bias_row_stripe3,
+                                            cpb_offset_table)
+    params, x, _ = setup
+    d1, d2, d3 = 8, 2, 4             # n = 64 grid tokens
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(3), 32, CFG.heads,
+                                   num_dims=3)
+    full = continuous_pos_bias(cpb, d1, d2, d3)
+    q_block = 16                     # 2 grid rows per query block
+    table = cpb_offset_table(cpb, (d1, d2, d3))
+
+    def bias_row_fn(row0):
+        return continuous_pos_bias_row_stripe3(
+            None, d1, d2, d3, row0 // (d2 * d3), q_block // (d2 * d3),
+            table=table)
+
+    want = attention(params, CFG, x, attn_bias=full, return_weights=False,
+                     use_pallas=False).out
+    got = jax.jit(lambda p, xx: blockwise_cosine_attention_qrows(
+        p, CFG, xx, q_block=q_block, bias_row_fn=bias_row_fn))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_qrows_memory_no_dense_scores(setup):
+    """The q-rows scan body carries [.., q_block, n] scores only — never
+    [.., n, n]."""
+    from test_ring_attention import _all_eqn_shapes
+
+    from ct_clip_ut_tpu.ops.attention_blockwise import \
+        blockwise_cosine_attention_qrows
+    from ct_clip_ut_tpu.ops.posbias import (continuous_pos_bias_row_stripe3,
+                                            cpb_offset_table)
+    params, _, _ = setup
+    d1, d2, d3 = 20, 2, 4
+    n = d1 * d2 * d3   # 160: != dim (64), != 2*inner_dim (128)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, n, CFG.dim))
+    cpb = init_continuous_pos_bias(jax.random.PRNGKey(3), 32, CFG.heads,
+                                   num_dims=3)
+    q_block = 32
+    table = cpb_offset_table(cpb, (d1, d2, d3))
+
+    def bias_row_fn(row0):
+        return continuous_pos_bias_row_stripe3(
+            None, d1, d2, d3, row0 // (d2 * d3), q_block // (d2 * d3),
+            table=table)
+
+    jaxpr = jax.make_jaxpr(lambda p, xx: blockwise_cosine_attention_qrows(
+        p, CFG, xx, q_block=q_block, bias_row_fn=bias_row_fn))(params, x)
+    shapes = _all_eqn_shapes(jaxpr.jaxpr)
+    assert any(s[-2:] == (q_block, n) for s in shapes if len(s) >= 2)
+    for s in shapes:
+        assert not (len(s) >= 2 and s[-1] == n and s[-2] == n), s

@@ -253,9 +253,13 @@ def test_t5_conditioner_keyword_matching():
 
 def test_flagship_grid_routes_blockwise_no_dense_scores():
     """At the reference 101x8x8 grid (6,464 tokens) ctgenerate_apply must
-    route MaskGit through the blockwise path: the dense [.., n, n]
-    score/bias tables lane-pad to ~21 GB under batching (observed HBM OOM
-    at B=4 on v5e). Abstract trace only — nothing is executed."""
+    route MaskGit through the q-row-block path: BATCHED [b, .., n, n]
+    score tensors are the memory wall (5.3 GB fp32 at b=4, ~21 GB with
+    softmax intermediates — observed HBM OOM on v5e). The batch-INDEPENDENT
+    [heads, n, n] CPB bias table (1.3 GB) is allowed: it is layer-shared,
+    built once per forward (posbias.continuous_pos_bias_grouped3) and
+    row-sliced inside the scan — rebuilding stripes per step measured 2/3
+    of CTGenerate's attention time. Abstract trace only."""
     from test_ring_attention import _all_eqn_shapes
 
     from ct_clip_ut_tpu.config import CTGenerateConfig
@@ -272,6 +276,11 @@ def test_flagship_grid_routes_blockwise_no_dense_scores():
         p, cfg, s, e, m, {}, return_embeds=False).feature_map)(
         params, scan, embed, mask)
     n = 101 * 8 * 8
+    heads = cfg.maskgit.heads
     shapes = _all_eqn_shapes(jaxpr.jaxpr)
+    # the layer-shared bias table must exist exactly as [heads, n, n] —
+    # nothing [n, n]-shaped may carry a batch axis
+    assert any(s == (heads, n, n) for s in shapes)
     for s in shapes:
-        assert not (len(s) >= 2 and s[-1] == n and s[-2] == n), s
+        if len(s) >= 2 and s[-1] == n and s[-2] == n:
+            assert s == (heads, n, n), s
