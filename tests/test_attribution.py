@@ -135,6 +135,7 @@ def test_ig_matches_serial_loop(setup):
     np.testing.assert_allclose(np.asarray(got), ig, atol=1e-3)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_ig_sharded_matches_serial(setup):
     """Riemann steps sharded over the 8-device data axis == the serial scan
     (same linspace, fp32 sums reassociated only across devices); also the

@@ -2,12 +2,15 @@
 
 import os
 import subprocess
+
+import pytest
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_quickstart_example(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

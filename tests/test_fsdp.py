@@ -98,6 +98,7 @@ def _fsdp_state(mesh, train_cfg):
     return trainer_mod.shard_train_state(state, mesh, fsdp=True), tx
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_fsdp_train_step_matches_unsharded(tiny_fsdp):
     mesh = make_mesh(MeshConfig(data=8, model=1))
     image, tokens = make_batch(jax.random.PRNGKey(1), 8)
@@ -154,6 +155,7 @@ def test_fsdp_composes_with_tp(tiny_fsdp):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_fsdp_gradcache_matches_single_pass(tiny_fsdp):
     cfg_gc = TrainConfig(lr=1e-3, compute_dtype="float32", grad_accum=2,
                          fsdp=True)

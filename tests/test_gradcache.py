@@ -11,6 +11,7 @@ legitimate divergence: mask draws per microbatch)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ct_clip_ut_tpu.config import (BertConfig, CTCLIPConfig, CTViTConfig,
                                    MeshConfig, TrainConfig, replace)
@@ -87,6 +88,7 @@ def test_gradcache_matches_full_batch_step():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_gradcache_sharded_matches_unsharded():
     """DP-sharded GradCache step == single-device GradCache step: the scan
     microbatch axis composes with GSPMD batch sharding."""

@@ -123,6 +123,7 @@ def test_moe_transformer_stack_grads():
                                atol=1e-6)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_moe_ctclip_train_step_and_gradcache():
     """The MoE CT-ViT variant trains end-to-end: the aux loss reaches the
     single-pass step, and the GradCache chunked step reproduces it exactly

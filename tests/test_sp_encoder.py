@@ -68,6 +68,7 @@ def test_sp_latents_match_dense(setup):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_sp_gradients_match_dense(setup):
     """d(loss)/d(spatial params + image) agree — halo exchange, ring
     attention and the CPB stripe are differentiable end-to-end."""

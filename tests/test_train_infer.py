@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ct_clip_ut_tpu.config import (BertConfig, CTCLIPConfig, CTViTConfig,
                                    MeshConfig, TrainConfig)
@@ -51,6 +52,7 @@ def test_train_step_reduces_loss_and_updates_vq():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_train_step_sharded_8dev():
     mesh = make_mesh(MeshConfig(data=4, model=2))
     state, tx = trainer_mod.create_train_state(KEY, SMALL_CLIP, TRAIN)
@@ -73,6 +75,7 @@ def test_train_step_sharded_8dev():
     assert out.sim_matrix.shape == (8, 8)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_sharded_loss_matches_single_device():
     """DP sharding must not change the math."""
     mesh = make_mesh(MeshConfig(data=8, model=1))
@@ -197,6 +200,7 @@ def test_save_metrics_writes_table(tmp_path):
     assert "Mean ROC-AUC" in text and "x" in text
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_train_step_tp_mesh_params_match_single_device():
     """Single-pass train step on a ("data","model")=(4,2) mesh produces the
     SAME parameter update as a single device — at the PARAM level, not just

@@ -1,6 +1,7 @@
 """CTClipTrainer host-driver loop end-to-end on fabricated data."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -57,6 +58,7 @@ class FakeBatches:
                 yield images, texts
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_trainer_profile_window(tmp_path):
     """--profile-steps captures a trace dump of steps [2, 2+N); the
     epoch-end safety stop closes a window longer than the epoch."""
@@ -102,6 +104,7 @@ def test_trainer_driver_two_epochs(tmp_path):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_trainer_driver_tp_mesh_4x2(tmp_path):
     """CLI-reachable tensor parallelism: make_cli_mesh(--mesh-model 2) gives
     a ("data", "model") 4x2 mesh on the 8-device backend, and the trainer
@@ -189,6 +192,7 @@ def test_trainer_periodic_checkpoint(tmp_path):
     assert int(trainer2.state.step) in (2, 4)
 
 
+@pytest.mark.slow  # >40 s single-core; full/CI suite runs it
 def test_trainer_step_level_resume_bitwise(tmp_path):
     """Mid-epoch resume reproduces the uninterrupted run EXACTLY: a run
     checkpointed at step 2 of a 3-step epoch 1, resumed into a 2-epoch
