@@ -155,7 +155,11 @@ def upsample_to_host(volume, target_shape):
     ~221 MB upsampled volume across the device->host link per map. Separable
     matmuls in fp32 — the same precision the device resize accumulates in;
     measured <=2e-7 from the fp64 formulation and ~60x faster (fp64 BLAS on
-    the 442 MB final stage dominated the whole rollout pipeline)."""
+    the 442 MB final stage dominated the whole rollout pipeline). Per-map
+    cost is allocation-dominated on a busy host (~221 MB of fresh mmap'd
+    pages per map): ~0.11 s quiet vs ~0.3 s mid-bench measured — a shared
+    output buffer was tried and rejected, since callers legitimately hold
+    several live maps (rollout returns 2, grad-CAM 6)."""
     import numpy as np
     v = np.asarray(volume, np.float32)
     for ax in range(3):
