@@ -31,7 +31,6 @@ import types
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # minutes-scale; fast loop runs -m 'not slow'
 
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
