@@ -191,6 +191,12 @@ def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
     mask_counts = jnp.asarray(_cosine_mask_counts(n, steps), jnp.int32)
     anneal = jnp.linspace(1.0, 0.0, steps + 1)[1:]  # -> 0 at the last step
 
+    # long grids decode through the q-row-block route like
+    # ctgenerate_apply: dense [b, heads, n, n] scores at the flagship
+    # 101x8x8 grid are the HBM wall, and weights="none" satisfies the
+    # blockwise observability constraint by construction
+    blk = h * w if n >= 4096 else None
+
     def step_fn(carry, xs):
         ids, is_masked, rng = carry
         n_keep_masked, temp_scale = xs
@@ -198,7 +204,8 @@ def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
 
         logits = maskgit_apply(
             params, cfg, ids, context, video_patch_shape,
-            text_mask=text_mask, weights="none").output        # [b, n, V]
+            text_mask=text_mask, weights="none",
+            self_attn_block=blk).output                        # [b, n, V]
         logits = logits.astype(jnp.float32)
 
         temp = jnp.maximum(temperature * temp_scale, 1e-6)

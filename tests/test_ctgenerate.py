@@ -284,3 +284,27 @@ def test_flagship_grid_routes_blockwise_no_dense_scores():
     for s in shapes:
         if len(s) >= 2 and s[-1] == n and s[-2] == n:
             assert s == (heads, n, n), s
+
+
+def test_maskgit_generate_flagship_grid_routes_blockwise():
+    """Iterative decode at the flagship 101x8x8 grid routes self-attention
+    through the q-row-block path too: no batched [.., n, n] tensor in the
+    program (only the layer-shared [heads, n, n] bias). Abstract trace."""
+    from test_ring_attention import _all_eqn_shapes
+
+    from ct_clip_ut_tpu.config import MaskGitConfig
+    from ct_clip_ut_tpu.models import maskgit as mg
+
+    cfg = MaskGitConfig()
+    params = jax.eval_shape(lambda k: mg.init_maskgit(k, cfg),
+                            jax.random.PRNGKey(0))
+    context = jax.ShapeDtypeStruct((1, 16, cfg.dim_context), jnp.float32)
+
+    jaxpr = jax.make_jaxpr(lambda p, c, r: mg.maskgit_generate(
+        p, cfg, c, (101, 8, 8), steps=2, rng=r))(
+        params, context, jax.random.PRNGKey(1))
+    n = 101 * 8 * 8
+    shapes = _all_eqn_shapes(jaxpr.jaxpr)
+    for s in shapes:
+        if len(s) >= 2 and s[-1] == n and s[-2] == n:
+            assert s == (cfg.heads, n, n), s
