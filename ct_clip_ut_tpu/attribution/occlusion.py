@@ -563,19 +563,25 @@ def occlusion_scores_multi_sharded(params, cfg: CTCLIPConfig, image: Array,
                                    text_latents: Array, coords: Array,
                                    mesh, *,
                                    occ: OcclusionConfig = OcclusionConfig(),
-                                   chunk: int = 8):
+                                   chunk: int = 8, slab: int = 2048):
     """Window-sharded multi-pathology sweep: the mesh "data" axis splits the
     window list AND one sweep scores every pathology (occlusion_scores_multi)
     — the two orthogonal speedups over the reference composed. Returns
-    (original_scores [K], scores [N, K])."""
+    (original_scores [K], scores [N, K]).
+
+    Dispatched in host-level slabs of `slab` windows PER DEVICE (the same
+    watchdog bound as occlusion_scores_slabbed: a full flagship sweep as
+    one device execution runs long enough to trip relay execution
+    watchdogs); slabs are dispatched back-to-back before any fetch, so the
+    device queue stays full."""
+    import numpy as np
+
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_data = mesh.shape["data"]
     n = coords.shape[0]
-    pad = (-n) % n_data
-    coords_p = jnp.concatenate([coords, coords[:1].repeat(pad, 0)], axis=0) \
-        if pad else coords
+    per_dispatch = slab * n_data
 
     def per_device(image, text_latents, my_coords):
         originals, scores = occlusion_scores_multi(
@@ -587,8 +593,23 @@ def occlusion_scores_multi_sharded(params, cfg: CTCLIPConfig, image: Array,
                    in_specs=(P(), P(), P("data")),
                    out_specs=(P(), P()),
                    check_vma=False)
-    originals, scores = fn(image, text_latents, coords_p)
-    return originals, scores[:n]
+
+    pending = []
+    for lo in range(0, n, per_dispatch):
+        part = coords[lo:lo + per_dispatch]
+        pad = (-part.shape[0]) % (per_dispatch if n > per_dispatch else n_data)
+        if pad:
+            part = jnp.concatenate(
+                [part, jnp.zeros((pad, 3), part.dtype)], axis=0)
+        originals, scores = fn(image, text_latents, part)
+        pending.append((originals, scores, pad))
+    if len(pending) == 1:
+        originals, scores, pad = pending[0]
+        return originals, scores[:n]
+    originals = pending[0][0]
+    parts = [np.asarray(s, np.float64)[:s.shape[0] - pad] if pad else
+             np.asarray(s, np.float64) for _, s, pad in pending]
+    return originals, np.concatenate(parts, axis=0)[:n]
 
 
 def report_text_latent(params, cfg: CTCLIPConfig, text_tokens) -> Array:

@@ -68,9 +68,16 @@ class Visualizations:
 
         image, text_tokens, labels, scan_name, path = sample
 
-        def bcast_str(s, width=512):
+        def bcast_str(s, width=1024):
+            raw = str(s).encode()
+            if len(raw) > width:
+                # refuse loudly: a byte-cap cut could split a multibyte
+                # UTF-8 character and fail to decode on every process, and
+                # silent truncation would corrupt artifact paths
+                raise ValueError(
+                    f"string too long to broadcast ({len(raw)} > {width} "
+                    f"bytes): {str(s)[:80]}...")
             buf = np.zeros(width, np.uint8)
-            raw = str(s).encode()[:width]
             buf[:len(raw)] = np.frombuffer(raw, np.uint8)
             out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
             return bytes(out[out != 0]).decode()
@@ -285,10 +292,21 @@ class Visualizations:
                            path if isinstance(path, str) else path[0])
 
             if name == "integrated_gradients":
-                # pipelined across scans: map k's fetch/save overlaps
-                # map k+1's device compute
-                self.integrated_gradients_worklist(
-                    (img, tok, nm) for img, tok, _, nm, _ in prepared())
+                if (self.ctx.mesh is not None
+                        and self.ctx.mesh.shape.get("data", 1) > 1):
+                    # mesh set: shard each map's interpolation steps over
+                    # the data axis (integrated_gradients_sharded, ~n_dev x
+                    # per map) — the per-scan pipelining below is
+                    # single-device and would ignore the mesh
+                    for image, text_tokens, labels, scan_name, path \
+                            in prepared():
+                        self.integrated_gradients(image, text_tokens,
+                                                  labels, scan_name, path)
+                else:
+                    # pipelined across scans: map k's fetch/save overlaps
+                    # map k+1's device compute
+                    self.integrated_gradients_worklist(
+                        (img, tok, nm) for img, tok, _, nm, _ in prepared())
             else:
                 for sample in prepared():
                     if name == "occlusion" and multiproc:

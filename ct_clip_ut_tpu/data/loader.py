@@ -110,42 +110,47 @@ class DataLoader:
         done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size
                                             + self.num_workers)
         for i, b in enumerate(batches):
-            for j in b:
-                sample_q.put((i, j))
+            for k, j in enumerate(b):
+                sample_q.put((i, k, j))
 
         stop = threading.Event()
 
         def worker():
             while not stop.is_set():
                 try:
-                    bi, si = sample_q.get_nowait()
+                    bi, pos, si = sample_q.get_nowait()
                 except queue.Empty:
                     return
                 try:
-                    done_q.put((bi, self.dataset[si], None))
+                    done_q.put((bi, pos, self.dataset[si], None))
                 except Exception as e:  # noqa: BLE001
-                    done_q.put((bi, None, e))
+                    done_q.put((bi, pos, None, e))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
+        # items land at their SAMPLER position within the batch, not in
+        # worker completion order — with num_workers > 1 completion order is
+        # nondeterministic, and batch assembly must be reproducible for the
+        # bit-for-bit resume contract (train/trainer.py)
         pending: dict = {}
         next_batch = 0
         received = 0
         total = sum(len(b) for b in batches)
         try:
             while next_batch < len(batches):
-                while len(pending.get(next_batch, [])) < len(batches[next_batch]):
+                while len(pending.get(next_batch, {})) < len(batches[next_batch]):
                     if received >= total and not any(t.is_alive() for t in threads):
                         raise RuntimeError("loader workers exited early")
-                    bi, item, err = done_q.get()
+                    bi, pos, item, err = done_q.get()
                     if err is not None:
                         raise err
-                    pending.setdefault(bi, []).append(item)
+                    pending.setdefault(bi, {})[pos] = item
                     received += 1
-                yield self._collate(pending.pop(next_batch))
+                slots = pending.pop(next_batch)
+                yield self._collate([slots[k] for k in range(len(slots))])
                 next_batch += 1
         finally:
             stop.set()

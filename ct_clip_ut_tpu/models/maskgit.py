@@ -52,6 +52,51 @@ class MaskGitOutput(NamedTuple):
     cross_attn: Tuple[Array, ...]       # per-layer [b, heads, n, 2 + text_len]
 
 
+def _self_attn_bias(params, cfg: MaskGitConfig, video_patch_shape, n: int,
+                    self_attn_block, *, weights: str, video_mask):
+    """(attn_bias, bias_fn) for the self-attention CPB.
+
+    Dense mode: the [heads, n, n] table. Blockwise (long-context) mode:
+    q-row-block scans over the scores (never a [b, heads, n, n] score
+    tensor — 5.3 GB fp32 at the 101x8x8 grid, batch 4) with the bias read
+    per stripe; outputs equal the dense path exactly (full-row softmax).
+    The CPB table is LAYER-SHARED and batch-independent ([heads, n, n]
+    fp32 = 1.3 GB at the flagship grid), so up to _BIAS_TABLE_MAX_BYTES it
+    is built ONCE and row-sliced inside each layer's scan — rebuilding
+    stripes per scan step measured 66 of 99 ms per layer-apply (2/3 of the
+    attention cost). Past the cap, the per-step stripe builder keeps bias
+    memory O(q_block * n). Factored out so maskgit_generate can hoist the
+    build OUT of its decode loop (`precomputed_bias`) — while-loop
+    invariant code motion does not reliably hoist a 1.3 GB-producing
+    subgraph."""
+    if self_attn_block is None:
+        return continuous_pos_bias(
+            params["continuous_pos_bias"], *video_patch_shape), None
+
+    d1, d2, d3 = video_patch_shape
+    assert video_mask is None, "blockwise MaskGit has no video mask"
+    assert weights in ("last_cross", "none"), \
+        "self-attention weights are not observable blockwise"
+    assert self_attn_block % (d2 * d3) == 0, (self_attn_block, d2, d3)
+    if cfg.heads * n * n * 4 <= _BIAS_TABLE_MAX_BYTES:
+        from ..ops.posbias import continuous_pos_bias_grouped3
+        return continuous_pos_bias_grouped3(
+            params["continuous_pos_bias"], d1, d2, d3), None   # [h, n, n]
+
+    from ..ops.posbias import (continuous_pos_bias_row_stripe3,
+                               cpb_offset_table)
+    # MLP over the distinct offsets once; each query block pays only the
+    # one-hot selection inside the scan
+    cpb_table = cpb_offset_table(params["continuous_pos_bias"], (d1, d2, d3))
+
+    def bias_fn(row0):
+        return continuous_pos_bias_row_stripe3(
+            None, d1, d2, d3, row0 // (d2 * d3),
+            self_attn_block // (d2 * d3), table=cpb_table)
+
+    return None, bias_fn
+
+
 def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
                   context: Array, video_patch_shape: Tuple[int, int, int], *,
                   text_mask: Optional[Array] = None,
@@ -59,7 +104,8 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
                   return_embeds: bool = False,
                   weights: str = "all",
                   self_attn_block: Optional[int] = None,
-                  rng=None, deterministic: bool = True) -> MaskGitOutput:
+                  rng=None, deterministic: bool = True,
+                  precomputed_bias=None) -> MaskGitOutput:
     """Args mirror reference maskgit.py:40-56: flattened ids [b, n], T5
     context [b, text_len, dim_context], and the (t, h, w) token grid shape.
 
@@ -78,48 +124,12 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     a = cfg.gradient_shrink_alpha
     x = x * a + jax.lax.stop_gradient(x) * (1.0 - a)
 
-    # blockwise self-attention (long-context mode): q-row-block scan over
-    # the scores (never a [b, heads, n, n] score tensor — 5.3 GB fp32 at
-    # the 101x8x8 grid, batch 4) with the bias read per stripe. The q-row
-    # path's per-stripe softmax is full-row, so outputs equal the dense
-    # path exactly. Weights-free paths only; requires no video mask and a
-    # block that tiles whole first-axis rows.
-    #
-    # Bias sourcing: the CPB table is LAYER-SHARED and batch-independent
-    # ([heads, n, n] fp32 = 1.3 GB at the flagship grid), so up to
-    # _BIAS_TABLE_MAX_BYTES it is built ONCE per forward and row-sliced
-    # inside each layer's scan — rebuilding stripes per scan step from the
-    # offset table measured 66 of 99 ms per layer-apply (2/3 of the whole
-    # attention cost, x6 layers). Past the cap (beyond-flagship grids)
-    # the per-step stripe builder keeps memory O(q_block * n).
-    bias_fn = None
-    attn_bias = None
-    if self_attn_block is not None:
-        d1, d2, d3 = video_patch_shape
-        assert video_mask is None, "blockwise MaskGit has no video mask"
-        assert weights in ("last_cross", "none"), \
-            "self-attention weights are not observable blockwise"
-        assert self_attn_block % (d2 * d3) == 0, (self_attn_block, d2, d3)
-        heads = cfg.heads
-        if heads * n * n * 4 <= _BIAS_TABLE_MAX_BYTES:
-            from ..ops.posbias import continuous_pos_bias_grouped3
-            attn_bias = continuous_pos_bias_grouped3(
-                params["continuous_pos_bias"], d1, d2, d3)   # [h, n, n]
-        else:
-            from ..ops.posbias import (continuous_pos_bias_row_stripe3,
-                                       cpb_offset_table)
-            # MLP over the distinct offsets once per forward; each query
-            # block pays the one-hot selection inside the scan
-            cpb_table = cpb_offset_table(params["continuous_pos_bias"],
-                                         (d1, d2, d3))
-
-            def bias_fn(row0):
-                return continuous_pos_bias_row_stripe3(
-                    None, d1, d2, d3, row0 // (d2 * d3),
-                    self_attn_block // (d2 * d3), table=cpb_table)
+    if precomputed_bias is not None:
+        attn_bias, bias_fn = precomputed_bias
     else:
-        attn_bias = continuous_pos_bias(
-            params["continuous_pos_bias"], *video_patch_shape)  # [h, n, n]
+        attn_bias, bias_fn = _self_attn_bias(
+            params, cfg, video_patch_shape, n, self_attn_block,
+            weights=weights, video_mask=video_mask)
 
     if weights in ("last_cross", "none"):
         from ..ops.taps import Taps
@@ -194,7 +204,12 @@ def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
     # long grids decode through the q-row-block route like
     # ctgenerate_apply: dense [b, heads, n, n] scores at the flagship
     # 101x8x8 grid are the HBM wall, and weights="none" satisfies the
-    # blockwise observability constraint by construction
+    # blockwise observability constraint by construction. The CPB bias is
+    # built ONCE here, outside the decode scan — inside step_fn it would
+    # be rebuilt (1.3 GB grouped build) every one of the `steps` iterations
+    bias = _self_attn_bias(params, cfg, video_patch_shape, n,
+                           h * w if n >= 4096 else None,
+                           weights="none", video_mask=None)
     blk = h * w if n >= 4096 else None
 
     def step_fn(carry, xs):
@@ -205,7 +220,7 @@ def maskgit_generate(params, cfg: MaskGitConfig, context: Array,
         logits = maskgit_apply(
             params, cfg, ids, context, video_patch_shape,
             text_mask=text_mask, weights="none",
-            self_attn_block=blk).output                        # [b, n, V]
+            self_attn_block=blk, precomputed_bias=bias).output  # [b, n, V]
         logits = logits.astype(jnp.float32)
 
         temp = jnp.maximum(temperature * temp_scale, 1e-6)

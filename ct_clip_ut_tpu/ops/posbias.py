@@ -167,11 +167,18 @@ def cpb_offset_table(params, dims, log_dist: bool = True) -> Array:
     return table.reshape(tuple(2 * d - 1 for d in dims) + (-1,))
 
 
-def _cpb_col_stripe_nd(params, dims, col_start, col_len: int,
-                       log_dist: bool, table: Optional[Array]) -> Array:
-    """Shared N-D column-stripe builder: all queries against the keys whose
-    FIRST-AXIS rows are [col_start, col_start + col_len). Returns
-    [heads, prod(dims), col_len * prod(dims[1:])]."""
+def _cpb_stripe_nd(params, dims, start, length: int, log_dist: bool,
+                   table: Optional[Array], restrict: str) -> Array:
+    """Shared N-D stripe builder over the CPB offset table.
+
+    restrict="cols": all queries against the keys whose FIRST-AXIS rows are
+    [start, start + length) -> [heads, prod(dims), length * prod(dims[1:])].
+    restrict="rows": the queries whose FIRST-AXIS rows are in that range
+    against all keys -> [heads, length * prod(dims[1:]), prod(dims)].
+    Out-of-range stripe rows (q/k-block padding past dims[0]) still produce
+    FINITE bias (legal relative offsets select real table entries; only
+    offsets past the table drop to zero via one_hot) — safe because the
+    blockwise attention paths discard padded rows' outputs."""
     f32 = jnp.float32
     if table is None:
         table = cpb_offset_table(params, dims, log_dist)
@@ -179,11 +186,15 @@ def _cpb_col_stripe_nd(params, dims, col_start, col_len: int,
     t = table
     d1, rest = dims[0], dims[1:]
 
-    # axis 0: keys restricted to the column rows, queries full
-    cols = col_start + jnp.arange(col_len)
-    rel0 = jnp.arange(d1)[:, None] - cols[None, :] + (d1 - 1)  # [d1, m]
+    idx = start + jnp.arange(length)
+    if restrict == "rows":               # queries restricted, keys full
+        rel0 = idx[:, None] - jnp.arange(d1)[None, :] + (d1 - 1)
+        pair0 = [length, d1]
+    else:                                # keys restricted, queries full
+        rel0 = jnp.arange(d1)[:, None] - idx[None, :] + (d1 - 1)
+        pair0 = [d1, length]
     sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
-    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(d1 m), ..., heads]
+    t = jnp.tensordot(sel0, t, axes=(1, 0))
 
     for ax, d in enumerate(rest, start=1):       # full pair grids
         ar = jnp.arange(d)
@@ -192,23 +203,31 @@ def _cpb_col_stripe_nd(params, dims, col_start, col_len: int,
         t = jnp.moveaxis(
             jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=(1, 0)), 0, ax)
 
-    # t: [(d1 m), (d2 d2), ..., heads] with (q, k) pair order per axis
+    # t: [(pair0), (d2 d2), ..., heads] with (q, k) pair order per axis
     c = len(dims)
-    pair_shape = [d1, col_len]
+    pair_shape = pair0[:]
     for d in rest:
         pair_shape += [d, d]
     t = t.reshape(pair_shape + [heads])
-    # -> [heads, q1, q2.., qc, mk, k2.., kc]
-    perm = ([2 * c] + [0] + [2 * k for k in range(1, c)]
-            + [1] + [2 * k + 1 for k in range(1, c)])
+    # q-axes are the even pair members, k-axes the odd ones
+    perm = ([2 * c] + [2 * k for k in range(c)]
+            + [2 * k + 1 for k in range(c)])
     t = t.transpose(perm)
     n = 1
     for d in dims:
         n *= d
-    blk = col_len
+    blk = length
     for d in rest:
         blk *= d
+    if restrict == "rows":
+        return t.reshape(heads, blk, n)
     return t.reshape(heads, n, blk)
+
+
+def _cpb_col_stripe_nd(params, dims, col_start, col_len: int,
+                       log_dist: bool, table: Optional[Array]) -> Array:
+    return _cpb_stripe_nd(params, dims, col_start, col_len, log_dist, table,
+                          restrict="cols")
 
 
 def continuous_pos_bias_col_stripe(params, d1: int, d2: int, col_start,
@@ -267,50 +286,8 @@ def continuous_pos_bias_grouped3(params, d1: int, d2: int, d3: int,
 
 def _cpb_row_stripe_nd(params, dims, row_start, row_len: int,
                        log_dist: bool, table: Optional[Array]) -> Array:
-    """Shared N-D ROW-stripe builder: the queries whose FIRST-AXIS rows are
-    [row_start, row_start + row_len) against all keys. Returns
-    [heads, row_len * prod(dims[1:]), prod(dims)]. Out-of-range query rows
-    (q-block padding past dims[0]) still produce FINITE bias rows (legal
-    relative offsets select real table entries; only offsets past the
-    table drop to zero via one_hot) — safe because the qrows attention
-    discards padded rows' outputs."""
-    f32 = jnp.float32
-    if table is None:
-        table = cpb_offset_table(params, dims, log_dist)
-    heads = table.shape[-1]
-    t = table
-    d1, rest = dims[0], dims[1:]
-
-    # axis 0: queries restricted to the stripe rows, keys full
-    rows = row_start + jnp.arange(row_len)
-    rel0 = rows[:, None] - jnp.arange(d1)[None, :] + (d1 - 1)  # [m, d1]
-    sel0 = jax.nn.one_hot(rel0.reshape(-1), 2 * d1 - 1, dtype=f32)
-    t = jnp.tensordot(sel0, t, axes=(1, 0))      # [(m d1), ..., heads]
-
-    for ax, d in enumerate(rest, start=1):       # full pair grids
-        ar = jnp.arange(d)
-        rel = ar[:, None] - ar[None, :] + (d - 1)
-        sel = jax.nn.one_hot(rel.reshape(-1), 2 * d - 1, dtype=f32)
-        t = jnp.moveaxis(
-            jnp.tensordot(sel, jnp.moveaxis(t, ax, 0), axes=(1, 0)), 0, ax)
-
-    # t: [(m d1), (d2 d2), ..., heads] with (q, k) pair order per axis
-    c = len(dims)
-    pair_shape = [row_len, d1]
-    for d in rest:
-        pair_shape += [d, d]
-    t = t.reshape(pair_shape + [heads])
-    # -> [heads, m, q2.., qc, d1, k2.., kc]
-    perm = ([2 * c] + [2 * k for k in range(c)]
-            + [2 * k + 1 for k in range(c)])
-    t = t.transpose(perm)
-    n = 1
-    for d in dims:
-        n *= d
-    blk = row_len
-    for d in rest:
-        blk *= d
-    return t.reshape(heads, blk, n)
+    return _cpb_stripe_nd(params, dims, row_start, row_len, log_dist, table,
+                          restrict="rows")
 
 
 def continuous_pos_bias_row_stripe3(params, d1: int, d2: int, d3: int,

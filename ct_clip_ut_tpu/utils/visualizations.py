@@ -39,13 +39,22 @@ def normalize(volume: np.ndarray) -> np.ndarray:
 
 
 def results_subdirectory(results_folder, visualization_name: str) -> Path:
-    """Indexed subdir per run (reference visualizations.py:108-122)."""
+    """Indexed subdir per run (reference visualizations.py:108-122).
+
+    The index claim is ATOMIC (mkdir with exist_ok=False, retrying upward):
+    concurrent claimants — e.g. per-process attribution ranks writing their
+    own scans to a shared results fs — get DISTINCT run dirs instead of
+    interleaving artifacts in one (the count-then-mkdir version raced)."""
     subdir = Path(results_folder) / visualization_name
     subdir.mkdir(parents=True, exist_ok=True)
     idx = len([d for d in subdir.iterdir() if d.is_dir()]) + 1
-    out = subdir / str(idx)
-    out.mkdir(parents=True, exist_ok=True)
-    return out
+    while True:
+        out = subdir / str(idx)
+        try:
+            out.mkdir(parents=False, exist_ok=False)
+            return out
+        except FileExistsError:
+            idx += 1
 
 
 def visualize_overlay(image: np.ndarray, overlay: np.ndarray, scan_name: str,

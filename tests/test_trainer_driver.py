@@ -258,6 +258,12 @@ def test_loader_iter_from_skips_preprocessing():
                           num_workers=2)
 
     full = [b for b in mk()]
+    # within-batch order is the SAMPLER's, not worker completion order —
+    # two runs must collate identically (the bit-for-bit resume contract)
+    full2 = [b for b in mk()]
+    for (ia, ta), (ib, tb) in zip(full, full2):
+        np.testing.assert_array_equal(ia, ib)
+        assert ta == tb
     touched.clear()
     tail = [b for b in mk().iter_from(4)]
     assert len(tail) == len(full) - 4
