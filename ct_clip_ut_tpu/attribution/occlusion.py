@@ -597,7 +597,10 @@ def occlusion_scores_multi_sharded(params, cfg: CTCLIPConfig, image: Array,
     pending = []
     for lo in range(0, n, per_dispatch):
         part = coords[lo:lo + per_dispatch]
-        pad = (-part.shape[0]) % (per_dispatch if n > per_dispatch else n_data)
+        # tail slab pads only to the next n_data multiple (one extra compile
+        # for the tail shape) — padding to a full per_dispatch would score up
+        # to slab*n_data-1 dummy (0,0,0) windows when the tail is small
+        pad = (-part.shape[0]) % n_data
         if pad:
             part = jnp.concatenate(
                 [part, jnp.zeros((pad, 3), part.dtype)], axis=0)

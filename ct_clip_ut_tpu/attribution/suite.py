@@ -42,7 +42,9 @@ class AttributionContext:
     render_gifs: bool = True
     # optional jax.sharding.Mesh: IG shards its interpolation steps and
     # occlusion its window sweeps over the mesh's data axis (which may span
-    # processes — the multi-host deployment mode); ~n_dev x per map
+    # processes — the multi-host deployment mode); ~n_dev x per map. When the
+    # mesh spans processes, BOTH methods are collective: the suite broadcasts
+    # process-0's sample before each sharded compute and rank-gates writes.
     mesh: Any = None
 
 
@@ -148,6 +150,8 @@ class Visualizations:
         self._save_ig_map(sal, image, scan_name)
 
     def _save_ig_map(self, sal, image, scan_name):
+        if not self.is_main:   # replicated result on sharded runs; rank-0
+            return             # writes (and owns the indexed-subdir pick)
         sal = rot90_ct(sal)
         img = self._image_np(image)
         out = viz.results_subdirectory(self.results_folder,
@@ -298,10 +302,14 @@ class Visualizations:
                     # the data axis (integrated_gradients_sharded, ~n_dev x
                     # per map) — the per-scan pipelining below is
                     # single-device and would ignore the mesh
-                    for image, text_tokens, labels, scan_name, path \
-                            in prepared():
-                        self.integrated_gradients(image, text_tokens,
-                                                  labels, scan_name, path)
+                    for sample in prepared():
+                        if multiproc:
+                            # collective over a process-spanning mesh: every
+                            # rank must feed the SAME sample into the sharded
+                            # program (same protocol as occlusion below);
+                            # rank 0 writes (_save_ig_map is rank-gated)
+                            sample = self._broadcast_sample(sample)
+                        self.integrated_gradients(*sample)
                 else:
                     # pipelined across scans: map k's fetch/save overlaps
                     # map k+1's device compute

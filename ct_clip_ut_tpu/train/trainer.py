@@ -423,8 +423,28 @@ class CTClipTrainer:
 
     def load_model(self, path):
         pos_path = Path(str(path) + ".pos.json")
-        self._resume_pos = (json.loads(pos_path.read_text())
-                            if pos_path.exists() else None)
+        pos = (json.loads(pos_path.read_text())
+               if pos_path.exists() else None)
+        if jax.process_count() > 1:
+            # only rank 0 WRITES the sidecar (save_model), so on a non-shared
+            # or slowly-propagating fs other ranks may not see it. Every rank
+            # must agree on the resume position or the loops diverge
+            # (step-level resume on some ranks, epoch-level on others ->
+            # mismatched collectives / silent divergence) — broadcast rank-0's
+            # parsed view instead of trusting each rank's local read.
+            from jax.experimental import multihost_utils
+            buf = np.zeros(512, np.uint8)
+            if self.is_main and pos is not None:
+                raw = json.dumps(pos).encode()
+                if len(raw) > buf.size:
+                    raise ValueError(
+                        f"resume sidecar too large to broadcast ({len(raw)} "
+                        f"> {buf.size} bytes)")
+                buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            raw = bytes(buf[buf != 0])
+            pos = json.loads(raw.decode()) if raw else None
+        self._resume_pos = pos
         if self.cfg.sharded_checkpoints:
             self.state = ckpt.load_checkpoint_sharded(path, self.state)
         else:
@@ -527,6 +547,13 @@ class CTClipTrainer:
             if sampler is not None and hasattr(sampler, "set_epoch"):
                 sampler.set_epoch(epoch)
             total_loss, steps = 0.0, 0
+            if skip and self._resume_pos:
+                # restore the partial epoch's running loss sum so the epoch
+                # average appended to train_losses["epochs"] covers the WHOLE
+                # epoch, not just the post-resume steps (the sidecar persists
+                # them at every --save-every-steps checkpoint)
+                total_loss = float(self._resume_pos.get("loss_sum") or 0.0)
+                steps = int(self._resume_pos.get("loss_steps") or 0)
             pending = None   # (step, device loss) fetched ONE step late
 
             def log_step(step, loss):
@@ -588,7 +615,15 @@ class CTClipTrainer:
                         and int(self.state.step)
                         % self.cfg.save_every_steps == 0):
                     # periodic crash-recovery save (atomic write); resume
-                    # continues at exactly this step via the position sidecar
+                    # continues at exactly this step via the position sidecar.
+                    # Flush the pipelined loss first so the persisted running
+                    # sum covers THIS step — a resumed epoch's average then
+                    # equals the uninterrupted epoch's average exactly.
+                    if pending is not None:
+                        log_step(*pending)
+                        pending = None
+                    self._pos = {**self._pos, "loss_sum": total_loss,
+                                 "loss_steps": steps}
                     self.save_model("last_checkpoint.orbax"
                                     if self.cfg.sharded_checkpoints
                                     else "last_checkpoint.msgpack")

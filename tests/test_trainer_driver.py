@@ -209,7 +209,8 @@ def test_trainer_step_level_resume_bitwise(tmp_path):
                              results_folder=tmp_path / folder)
 
     # uninterrupted 2-epoch run: 6 steps
-    ref = make(2, "ref").train()
+    ref_tr = make(2, "ref")
+    ref = ref_tr.train()
     assert int(ref.step) == 6
 
     # interrupted run: 1 epoch with a mid-epoch save at step 2
@@ -219,7 +220,11 @@ def test_trainer_step_level_resume_bitwise(tmp_path):
     assert last.exists()
     pos = __import__("json").loads((last.parent / (last.name + ".pos.json"))
                                    .read_text())
-    assert pos == {"epoch": 1, "step_in_epoch": 2, "steps_per_epoch": 3}
+    core = {k: pos[k] for k in ("epoch", "step_in_epoch", "steps_per_epoch")}
+    assert core == {"epoch": 1, "step_in_epoch": 2, "steps_per_epoch": 3}
+    # the sidecar also persists the partial epoch's running loss so the
+    # resumed epoch's average covers the whole epoch
+    assert pos["loss_steps"] == 2 and np.isfinite(pos["loss_sum"])
 
     # resume from step 2 into the 2-epoch config: runs batch 3 of epoch 1,
     # then epoch 2 — final state must equal the uninterrupted run exactly
@@ -234,6 +239,11 @@ def test_trainer_step_level_resume_bitwise(tmp_path):
                     jax.tree.leaves(out.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(ref.rng), np.asarray(out.rng))
+    # the resumed epoch-1 average equals the uninterrupted run's exactly
+    # (restored running sum + identical remaining losses, same add order);
+    # ref's epochs list has the step-1 bootstrap entry prepended
+    np.testing.assert_array_equal(t2.train_losses["epochs"],
+                                  ref_tr.train_losses["epochs"][1:])
 
 
 def test_loader_iter_from_skips_preprocessing():
