@@ -179,6 +179,24 @@ def bench_kernel_parity() -> dict:
           lambda *a: packed_attention_xla(*a, 8.0, True),
           (x_tm, gamma, wq, wk, wv, wo, qs, ksc), tuple(range(8)))
 
+    # q-row-stripe kernel (the MaskGit/CTGenerate serving route), both
+    # variants: b=2 routes the shared-bias kv kernel (bias cast to the
+    # compute dtype there), b=1 the per-item grid. Backward is the XLA twin
+    # by construction (custom VJP), so only forwards need the chip check.
+    from ct_clip_ut_tpu.ops.pallas_attn_qrows import attention_qrows_fused
+    dh_q, n_q = 64, 1024
+    qs_q = jnp.abs(jax.random.normal(ks[5], (dh_q,))) + 0.5
+    ks_q = jnp.abs(jax.random.normal(ks[6], (dh_q,))) + 0.5
+    bias_q = jax.random.normal(ks[7], (h, n_q, n_q)).astype(jnp.float32)
+    for nm, b_q in (("attn_qrows_kv", 2), ("attn_qrows", 1)):
+        x_q = jax.random.normal(ks[8], (b_q, n_q, d)).astype(dt)
+        args_q = (x_q, gamma, wq, wk, wv, wo, qs_q, ks_q)
+        got = jax.jit(lambda *a: attention_qrows_fused(
+            *a, bias_q, 8.0, 64, False, True))(*args_q)
+        want = jax.jit(lambda *a: _xla_reference_block(
+            *a, bias_q, 8.0, True))(*args_q)
+        record(f"{nm}_fwd", rel_err(got, want))
+
     # GEGLU FF: 13,824 tokens x 512, inner 4*2/3*512
     inner = int(4 * 2 / 3 * d)
     kf = jax.random.split(jax.random.PRNGKey(43), 6)
@@ -486,17 +504,23 @@ def bench_ctgenerate() -> dict:
         jnp.float32)
     text_mask = jnp.ones((CTGEN_BATCH, 64), bool)
 
+    bias_cache = {}   # serving drivers build the CPB table once per grid
+
     def run():
         out = ctgenerate_apply_batched(params, cfg, scans, text_embed,
-                                       text_mask)
+                                       text_mask, bias_cache=bias_cache)
         return out
 
     out = run()  # compile
     np.asarray(out.feature_map[0, 0, :4])
     t0 = time.perf_counter()
     outs = [run() for _ in range(CTGEN_STEPS)]
-    for o in outs:
-        np.asarray(o.feature_map[0, 0, :4])   # relay: force completion
+    # executions on one device stream complete in dispatch order, so the
+    # LAST call's fetch proves every prior call finished. Fetching each
+    # output separately dispatches a tiny slice execution per call — each
+    # pays the ~29 ms relay dispatch floor and was measured to hide ~40%
+    # of real throughput (50.6 -> 38 scans/s; docs/ROADMAP.md round 5).
+    np.asarray(outs[-1].feature_map[0, 0, :4])
     sps = CTGEN_BATCH * CTGEN_STEPS / (time.perf_counter() - t0)
     return {"ctgenerate_scans_per_sec": round(sps, 2),
             "ctgenerate_batch": CTGEN_BATCH}
@@ -662,6 +686,11 @@ def main() -> None:
         extra.update(bench_train(cfg))
     if WITH_CTGEN:
         extra.update(bench_ctgenerate())
+
+    # kernel-path fallback counters (ops/fallbacks.py): a silent deopt off
+    # a fused kernel (odd batch, VMEM cap) must be visible in the artifact
+    from ct_clip_ut_tpu.ops.fallbacks import fallback_counts
+    extra["kernel_fallbacks"] = fallback_counts()
 
     line = json.dumps({
         "metric": "zeroshot_volumes_per_sec_per_chip",

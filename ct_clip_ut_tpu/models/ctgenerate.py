@@ -55,10 +55,20 @@ def init_ctgenerate(key, cfg: CTGenerateConfig):
 def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
                      text_embed: Array, text_mask: Array,
                      keyword_indices: Dict[str, list], *,
-                     return_embeds: bool = True) -> CTGenerateOutput:
+                     return_embeds: bool = True,
+                     self_attn_bias: Array = None,
+                     compute_dtype: str = "float32") -> CTGenerateOutput:
     """Forward (reference ctgenerate.py:26-64). `text_embed`/`text_mask` come
     from models.t5.T5TextConditioner.encode; `keyword_indices` from
-    get_token_indices on the positive pathologies."""
+    get_token_indices on the positive pathologies. `self_attn_bias`
+    optionally supplies the prebuilt [heads, n, n] MaskGit CPB table
+    (maskgit_bias_table) — it is a pure function of the maskgit params and
+    the token grid, so serving drivers build it once instead of re-expanding
+    the ~1.3 GB flagship table inside every compiled forward. `compute_dtype`
+    "bfloat16" runs the MaskGit stack in bf16 (softmax/LN fp32 inside, like
+    zeroshot serving); the CT-ViT tokenizer keeps the scan's own dtype so
+    the DISCRETE codebook ids cannot drift with the serving dtype.
+    "float32" is the reference-parity default."""
     vit_out = ctvit_apply(params["ctvit"], cfg.ctvit, ct_scan, freeze_vq=True)
     ids_grid = vit_out.codebook_ids                  # [b, t, h, w]
     video_patch_shape = ids_grid.shape[1:]
@@ -83,12 +93,16 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
             # v5e at b=4 (8.0 scans/s vs 6.0 at 8 frames — the score/bias
             # HBM traffic is block-size-invariant and bigger fp32 score
             # buffers only add pressure; see docs/ROADMAP.md round 4)
-            self_attn_block=h_ * w_)
+            self_attn_block=h_ * w_,
+            precomputed_bias=(None if self_attn_bias is None
+                              else (self_attn_bias, None)),
+            compute_dtype=compute_dtype)
     else:
         mg = maskgit_apply(
             params["maskgit"], cfg.maskgit, ids, text_embed,
             video_patch_shape, text_mask=text_mask, video_mask=token_mask,
-            return_embeds=return_embeds, weights="last_cross")
+            return_embeds=return_embeds, weights="last_cross",
+            compute_dtype=compute_dtype)
 
     # last layer's cross-attention; drop the null-KV columns so text token
     # indices address text positions
@@ -103,26 +117,78 @@ def ctgenerate_apply(params, cfg: CTGenerateConfig, ct_scan: Array,
                             codebook_ids=ids_grid, cross_attention=cross)
 
 
-@partial(jax.jit, static_argnames=("static_cfg",))
-def _ctgen_batched(params, static_cfg, ct_scans, text_embed, text_mask):
+@partial(jax.jit, static_argnames=("static_cfg", "compute_dtype"))
+def _ctgen_batched(params, static_cfg, ct_scans, text_embed, text_mask,
+                   self_attn_bias=None, compute_dtype: str = "float32"):
     out = ctgenerate_apply(params, static_cfg, ct_scans, text_embed,
-                           text_mask, {}, return_embeds=True)
+                           text_mask, {}, return_embeds=True,
+                           self_attn_bias=self_attn_bias,
+                           compute_dtype=compute_dtype)
     return out.feature_map, out.cross_attention, out.codebook_ids
+
+
+@partial(jax.jit, static_argnames=("t", "h", "w"))
+def _bias_table_jit(cpb_params, t, h, w):
+    from ..ops.posbias import continuous_pos_bias_grouped3
+    return continuous_pos_bias_grouped3(cpb_params, t, h, w)
+
+
+def maskgit_bias_table(params, cfg: CTGenerateConfig,
+                       video_patch_shape: Tuple[int, int, int],
+                       dtype=None) -> Array:
+    """Device-resident [heads, n, n] MaskGit CPB table for serving. A pure
+    function of `params['maskgit']['continuous_pos_bias']` and the grid —
+    re-expanding it inside every compiled forward was ~20 ms/batch of the
+    CTGenerate serving step (xplane: reshape/copy fusions of the grouped
+    builder), so serving drivers build it once per checkpoint and pass it
+    through `ctgenerate_apply_batched(bias_cache=...)`. `dtype` stores the
+    table in the serving compute dtype (bf16 halves its 1.3 GB and the
+    per-call cast the fused kernel would otherwise re-run)."""
+    t, h, w = (int(d) for d in video_patch_shape)
+    table = _bias_table_jit(params["maskgit"]["continuous_pos_bias"], t, h, w)
+    return table if dtype is None else table.astype(jnp.dtype(dtype))
 
 
 def ctgenerate_apply_batched(params, cfg: CTGenerateConfig, ct_scans: Array,
                              text_embed: Array, text_mask: Array,
-                             mesh=None) -> CTGenerateOutput:
+                             mesh=None, bias_cache: dict = None,
+                             compute_dtype: str = "bfloat16"
+                             ) -> CTGenerateOutput:
     """Batched (and optionally DP-sharded) forward for serving: [b] scans +
     their longest-padded T5 embeddings in ONE compiled program — the
     reference drives scans strictly one at a time
     (CTGenerateInference.py:101-140). Per-sample keyword spans are sliced
     from `cross_attention` on host (see scripts/inference_ctgenerate.py).
     With `mesh`, scans/text shard over the "data" axis and params replicate
-    — multi-chip scan throughput scales with the axis size."""
+    — multi-chip scan throughput scales with the axis size.
+
+    `bias_cache`: optional caller-owned dict. When passed, the MaskGit CPB
+    table for each token-grid shape is built ONCE (maskgit_bias_table) and
+    reused across calls instead of being re-expanded inside every compiled
+    forward (~20 ms/batch at the flagship grid). The cache is only valid
+    for one set of params — pass a fresh dict after loading new weights.
+
+    `compute_dtype` defaults to bf16 — the serving dtype, like
+    `zeroshot_probs` (softmax/LN/CPB stay fp32 internally; keyword heatmaps
+    are min-max-normalized head means, pinned vs the fp32 path in
+    tests/test_ctgenerate.py). Pass "float32" for the reference-parity
+    numerics."""
+    from .ctvit import token_grid_shape
+    from .maskgit import _BIAS_TABLE_MAX_BYTES
     from ..config import CTGenerateConfig as _C  # hashable static cfg
     assert isinstance(cfg, _C)
     b = ct_scans.shape[0]
+    self_attn_bias = None
+    if bias_cache is not None:
+        t, h, w = token_grid_shape(cfg.ctvit, ct_scans.shape)
+        n = t * h * w
+        if (n >= 4096   # the long-grid route that consumes a dense table
+                and cfg.maskgit.heads * n * n * 4 <= _BIAS_TABLE_MAX_BYTES):
+            key = (t, h, w, compute_dtype)
+            if key not in bias_cache:
+                bias_cache[key] = maskgit_bias_table(
+                    params, cfg, (t, h, w), dtype=compute_dtype)
+            self_attn_bias = bias_cache[key]
     if mesh is not None:
         from ..parallel import sharding as rules
         # pad an indivisible batch (short final batch, batch < data axis)
@@ -138,8 +204,12 @@ def ctgenerate_apply_batched(params, cfg: CTGenerateConfig, ct_scans: Array,
         text_embed = jax.device_put(text_embed, rules.batch_shardings(mesh))
         text_mask = jax.device_put(text_mask, rules.batch_shardings(mesh))
         params = jax.device_put(params, rules.replicated(mesh))
+        if self_attn_bias is not None:
+            self_attn_bias = jax.device_put(self_attn_bias,
+                                            rules.replicated(mesh))
     feature_map, cross, ids_grid = _ctgen_batched(
-        params, cfg, ct_scans, text_embed, text_mask)
+        params, cfg, ct_scans, text_embed, text_mask, self_attn_bias,
+        compute_dtype=compute_dtype)
     return CTGenerateOutput(feature_map=feature_map[:b], kw_attention={},
                             video_patch_shape=tuple(ids_grid.shape[1:]),
                             codebook_ids=ids_grid[:b],

@@ -232,6 +232,20 @@ def ctvit_encode(params, cfg: CTViTConfig, tokens: Array, *,
     return x, sp_aux, tm_aux
 
 
+def token_grid_shape(cfg: CTViTConfig, image_shape) -> tuple:
+    """(t, h, w) codebook-id grid for a [b, c, T, H, W] input — the shape
+    `ctvit_apply(...).codebook_ids[0]` will have, computable without running
+    the encoder (serving drivers pre-build MaskGit's CPB table from it).
+    ctgenerate embeds the first frame separately (reference ctvit.py:106-110),
+    so t = 1 + (T-1)/tps there."""
+    T, H, W = (int(s) for s in image_shape[-3:])
+    if cfg.model_type == "ctgenerate":
+        t = 1 + (T - 1) // cfg.temporal_patch_size
+    else:
+        t = T // cfg.temporal_patch_size
+    return (t, H // cfg.patch_size, W // cfg.patch_size)
+
+
 def ctvit_apply(params, cfg: CTViTConfig, image: Array, *,
                 freeze_vq: bool = True,
                 return_weights: bool = False,

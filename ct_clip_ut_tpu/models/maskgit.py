@@ -105,7 +105,8 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
                   weights: str = "all",
                   self_attn_block: Optional[int] = None,
                   rng=None, deterministic: bool = True,
-                  precomputed_bias=None) -> MaskGitOutput:
+                  precomputed_bias=None,
+                  compute_dtype: Optional[str] = None) -> MaskGitOutput:
     """Args mirror reference maskgit.py:40-56: flattened ids [b, n], T5
     context [b, text_len, dim_context], and the (t, h, w) token grid shape.
 
@@ -123,6 +124,13 @@ def maskgit_apply(params, cfg: MaskGitConfig, ct_codebook_ids: Array,
     # scaled by alpha
     a = cfg.gradient_shrink_alpha
     x = x * a + jax.lax.stop_gradient(x) * (1.0 - a)
+
+    # serving dtype: embeddings/pos math stay fp32, the transformer stack
+    # (and its fused kernels) runs in compute_dtype; softmax/LN internals
+    # are fp32 either way. None keeps the params' dtype (the parity path).
+    if compute_dtype is not None:
+        x = x.astype(jnp.dtype(compute_dtype))
+        context = context.astype(jnp.dtype(compute_dtype))
 
     if precomputed_bias is not None:
         attn_bias, bias_fn = precomputed_bias

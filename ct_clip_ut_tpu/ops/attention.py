@@ -98,6 +98,13 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
         # kernel's sequence blocking (_pick_rows needs r >= 2 to divide the
         # batch); odd-batch callers silently take the slower per-head path
         # below — every production shape here is even (b*h*w or b*t).
+        if (fusable and attn_bias is None and n_ < 128 and n_ * h <= 1024
+                and x.shape[0] % 2 != 0):
+            # make the deopt visible: odd-batch callers take the slower
+            # per-head path below (see gate comment); a silent route-off
+            # here can hide ~2x in a caller's throughput
+            from .fallbacks import note_fallback
+            note_fallback("attn_packed", f"odd batch {x.shape[0]}")
         if (fusable and attn_bias is None and n_ < 128
                 and n_ * h <= 1024 and x.shape[0] % 2 == 0):
             from .pallas_attn_packed import attention_block_packed
@@ -112,6 +119,10 @@ def attention(params, cfg: AttentionConfig, x: Array, *,
                 params["q_scale"], params["k_scale"], cfg.scale, False,
                 residual)
             return AttentionOutput(out, None)
+        if fusable and n_ >= 128 and n_ * n_ * 4 > 4 * 1024 * 1024:
+            from .fallbacks import note_fallback
+            note_fallback("attn_block", f"fp32 scores at n={n_} over the "
+                          f"4 MB VMEM cap; XLA dense path")
         if (fusable
                 and n_ >= 128 and n_ * n_ * 4 <= 4 * 1024 * 1024):
             from .pallas_attn_block import attention_block_fused

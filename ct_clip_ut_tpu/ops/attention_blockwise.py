@@ -157,6 +157,36 @@ def blockwise_cosine_attention_qrows(params, cfg: AttentionConfig, x: Array,
         "pass either a dense bias or a bias_row_fn, not both"
     b, n, _ = x.shape
     h, dh = cfg.heads, cfg.dim_head
+
+    # fused Pallas route: scores + bias stripe + softmax never leave VMEM
+    # (the XLA scan below round-trips each fp32 score block through HBM —
+    # measured 2.5x the matmul+traffic floor at the CTGenerate flagship
+    # grid). Covers the dense-bias-table (or no-bias) mode; the streamed
+    # bias_row_fn mode keeps the XLA scan.
+    import os
+    if (jax.default_backend() == "tpu" and bias_row_fn is None
+            and os.environ.get("CTCLIP_QROWS", "") != "xla"):
+        from .fallbacks import note_fallback
+        from .pallas_attn_qrows import (attention_qrows_fused,
+                                        qrows_vmem_estimate)
+        if n % q_block or q_block % 8:
+            note_fallback("attn_qrows", f"n={n} not divisible by "
+                          f"q_block={q_block}")
+        elif qrows_vmem_estimate(n, x.shape[-1], cfg.inner_dim, h, q_block,
+                                 x.dtype.itemsize) > 100 * 2**20:
+            note_fallback("attn_qrows", f"vmem estimate over budget at n={n}")
+        else:
+            wkv = params["to_kv"]["w"]
+            dt = x.dtype
+            return attention_qrows_fused(
+                x, params["norm"]["gamma"],
+                params["to_q"]["w"].astype(dt),
+                wkv[:, :cfg.inner_dim].astype(dt),
+                wkv[:, cfg.inner_dim:].astype(dt),
+                params["to_out"]["w"].astype(dt),
+                params["q_scale"], params["k_scale"], attn_bias, cfg.scale,
+                q_block, False, residual)
+
     f32 = jnp.float32
     pad = (-n) % q_block
     nb = (n + pad) // q_block

@@ -106,12 +106,14 @@ def main(argv=None):
                        out.video_patch_shape)
     else:
         from ..models.ctgenerate import ctgenerate_apply_batched
+        bias_cache = {}   # CPB table built once per grid shape (serving)
         for lo in range(0, len(ds), bsz):
             samples = [ds[i] for i in range(lo, min(lo + bsz, len(ds)))]
             images = np.stack([s[0] for s in samples])
             text_embed, text_mask = t5.encode([s[1] for s in samples])
             out = ctgenerate_apply_batched(params, cfg, jnp.asarray(images),
-                                           text_embed, text_mask, mesh=mesh)
+                                           text_embed, text_mask, mesh=mesh,
+                                           bias_cache=bias_cache)
             cross_all = np.asarray(out.cross_attention)
             for i, (image, _, labels, scan_name, _) in enumerate(samples):
                 positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())

@@ -102,6 +102,38 @@ def test_maskgit_blockwise_matches_dense():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_maskgit_precomputed_bias_and_dtype():
+    """A prebuilt CPB table injected via precomputed_bias equals the
+    in-forward build exactly (the serving bias_cache path), and the bf16
+    compute_dtype stays within bf16 tolerance of fp32."""
+    import numpy as np
+    from ct_clip_ut_tpu.ops.posbias import continuous_pos_bias_grouped3
+    params = mg.init_maskgit(KEY, SMALL_MG)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 2 * 4 * 4), 0, 32)
+    context = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 32))
+    text_mask = jnp.ones((1, 7), bool)
+    kw = dict(text_mask=text_mask, weights="last_cross", self_attn_block=16)
+
+    ref = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4), **kw)
+    table = continuous_pos_bias_grouped3(
+        params["continuous_pos_bias"], 2, 4, 4)
+    got = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4),
+                           precomputed_bias=(table, None), **kw)
+    np.testing.assert_array_equal(np.asarray(got.output),
+                                  np.asarray(ref.output))
+
+    bf = mg.maskgit_apply(params, SMALL_MG, ids, context, (2, 4, 4),
+                          compute_dtype="bfloat16", **kw)
+    # logits: bf16 activations drift ~1e-1 absolute at random init — sanity
+    # bound only; the serving contract is the cross-attention (softmax
+    # probabilities, what the keyword heatmaps consume), pinned tight
+    np.testing.assert_allclose(np.asarray(bf.output, np.float32),
+                               np.asarray(ref.output), atol=2e-1)
+    dc = np.abs(np.asarray(bf.cross_attn[-1])
+                - np.asarray(ref.cross_attn[-1]))
+    assert dc.max() < 1.5e-1 and dc.mean() < 1e-2, (dc.max(), dc.mean())
+
+
 def test_maskgit_generate():
     """Iterative decode: all-masked start, cosine-schedule unmasking, final
     ids all inside the codebook, deterministic under a fixed key."""
@@ -202,8 +234,11 @@ def test_ctgenerate_batched_matches_per_scan():
     text_mask = text_mask.at[1, 4:].set(False)
     text_embed = text_embed * text_mask[..., None]
 
+    # fp32 compute pins exact equality with the per-scan parity path; the
+    # serving default is bf16 (checked below)
     out = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans,
-                                      text_embed, text_mask)
+                                      text_embed, text_mask,
+                                      compute_dtype="float32")
     for i in range(b):
         single = cg.ctgenerate_apply(params, SMALL_GEN, scans[i:i + 1],
                                      text_embed[i:i + 1], text_mask[i:i + 1],
@@ -215,20 +250,32 @@ def test_ctgenerate_batched_matches_per_scan():
             np.asarray(out.cross_attention[i:i + 1][..., [1, 2]]),
             np.asarray(single.kw_attention["kw"]), atol=1e-5, rtol=1e-5)
 
+    # serving default (bf16 MaskGit stack): same ids, cross-attention
+    # weights within bf16 tolerance of the fp32 path
+    out_bf = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans,
+                                         text_embed, text_mask)
+    np.testing.assert_array_equal(np.asarray(out_bf.codebook_ids),
+                                  np.asarray(out.codebook_ids))
+    np.testing.assert_allclose(np.asarray(out_bf.cross_attention),
+                               np.asarray(out.cross_attention),
+                               atol=3e-2, rtol=3e-2)
+
     # DP-sharded over the 8-device mesh: same numbers
     mesh = make_mesh(MeshConfig(data=8, model=1))
     scans8 = jnp.tile(scans, (4, 1, 1, 1, 1))
     emb8 = jnp.tile(text_embed, (4, 1, 1))
     mask8 = jnp.tile(text_mask, (4, 1))
     out8 = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans8, emb8,
-                                       mask8, mesh=mesh)
+                                       mask8, mesh=mesh,
+                                       compute_dtype="float32")
     np.testing.assert_allclose(np.asarray(out8.feature_map[:2]),
                                np.asarray(out.feature_map), atol=1e-5,
                                rtol=1e-5)
 
     # indivisible batch (b=2 on 8 devices): padded internally, pads sliced
     out_pad = cg.ctgenerate_apply_batched(params, SMALL_GEN, scans,
-                                          text_embed, text_mask, mesh=mesh)
+                                          text_embed, text_mask, mesh=mesh,
+                                          compute_dtype="float32")
     assert out_pad.feature_map.shape[0] == b
     assert out_pad.cross_attention.shape[0] == b
     np.testing.assert_allclose(np.asarray(out_pad.feature_map),

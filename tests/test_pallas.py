@@ -559,3 +559,70 @@ def test_peg_residual_custom_vjp_matches_autodiff(causal):
     for a, b_, nm in zip(g1, g2, ["v", "w", "b"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
                                    rtol=1e-4, err_msg=nm)
+
+
+# ---------------------------------------------------------------------------
+# fused q-row-stripe kernel (the CTGenerate MaskGit serving route)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("with_bias,residual,b",
+                         [(True, True, 2),    # batch-inside variant
+                          (True, False, 2),
+                          (True, True, 1),    # per-item grid variant
+                          (False, True, 2)])  # no-bias -> per-item grid
+def test_pallas_qrows_matches_dense(with_bias, residual, b):
+    """attention_qrows_fused (interpret) == the dense cosine-attention op:
+    same full-row softmax, fp32 scores, k/v from pre-norm x. b=2 with bias
+    routes the batch-inside kernel (shared bias stripes); b=1 / no-bias
+    route the per-item grid."""
+    from ct_clip_ut_tpu.ops.pallas_attn_qrows import attention_qrows_fused
+    cfg = AttentionConfig(dim=64, dim_head=16, heads=4)
+    p = A.init_attention(KEY, cfg)
+    n = 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, cfg.dim))
+    bias = (jax.random.normal(jax.random.PRNGKey(2), (4, n, n)) * 0.4
+            if with_bias else None)
+    ref, _ = A.attention(p, cfg, x, attn_bias=bias, return_weights=False,
+                         use_pallas=False, residual=residual)
+    wkv = p["to_kv"]["w"]
+    got = attention_qrows_fused(
+        x, p["norm"]["gamma"], p["to_q"]["w"], wkv[:, :cfg.inner_dim],
+        wkv[:, cfg.inner_dim:], p["to_out"]["w"], p["q_scale"], p["k_scale"],
+        bias, cfg.scale, 16, True, residual)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_pallas_qrows_backward_all_grads():
+    """The custom VJP (XLA dense-twin recompute) gradients equal autodiff of
+    the dense attention op for every input."""
+    from ct_clip_ut_tpu.ops.pallas_attn_qrows import attention_qrows_fused
+    cfg = AttentionConfig(dim=64, dim_head=16, heads=4)
+    p = A.init_attention(KEY, cfg)
+    b, n = 2, 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, cfg.dim))
+    bias = jax.random.normal(jax.random.PRNGKey(2), (4, n, n)) * 0.4
+    wkv = p["to_kv"]["w"]
+
+    def loss_k(x, wq, wk, wv, wo, qs, ks, bias):
+        out = attention_qrows_fused(x, p["norm"]["gamma"], wq, wk, wv, wo,
+                                    qs, ks, bias, cfg.scale, 16, True, True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_d(x, wq, wk, wv, wo, qs, ks, bias):
+        p2 = dict(p)
+        p2["to_q"] = {"w": wq}
+        p2["to_kv"] = {"w": jnp.concatenate([wk, wv], axis=-1)}
+        p2["to_out"] = {"w": wo}
+        p2["q_scale"], p2["k_scale"] = qs, ks
+        out = A.attention(p2, cfg, x, attn_bias=bias, return_weights=False,
+                          use_pallas=False, residual=True).out
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    args = (x, p["to_q"]["w"], wkv[:, :cfg.inner_dim], wkv[:, cfg.inner_dim:],
+            p["to_out"]["w"], p["q_scale"], p["k_scale"], bias)
+    gk = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    gd = jax.grad(loss_d, argnums=tuple(range(8)))(*args)
+    for a, b_, nm in zip(gk, gd, "x wq wk wv wo qs ks bias".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4,
+                                   rtol=5e-4, err_msg=nm)
