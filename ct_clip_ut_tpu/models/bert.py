@@ -81,11 +81,48 @@ def bert_apply(params, cfg: BertConfig, input_ids: Array,
 
     # HF-style additive mask: 0 where attended, dtype-min where padded
     neg = jnp.finfo(jnp.float32).min
-    ext_mask = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [b, n]
-    ext_mask = ext_mask[:, None, None, :]
+    mask_row = (1.0 - attention_mask.astype(jnp.float32)) * neg  # [b, n]
+    ext_mask = mask_row[:, None, None, :]
 
     head_dim = cfg.hidden_size // cfg.num_heads
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+
+    # fused Pallas layer: the whole encoder layer (QKV + masked softmax
+    # attention + out-proj + post-LN + exact-GELU FF + post-LN, dropout via
+    # the TPU PRNG) runs as ONE kernel per layer — the unfused stack was
+    # ~50 ms of the flagship train step at a ~15 ms MXU floor
+    # (ops/pallas_bert_layer.py). Dropout masks come from the hardware PRNG
+    # instead of threefry (statistically equivalent; deterministic mode is
+    # parity-tested against this XLA path).
+    if (jax.default_backend() == "tpu"
+            and cfg.hidden_size % 128 == 0 and n % 8 == 0 and n >= 128
+            and head_dim % 8 == 0
+            and cfg.num_heads * head_dim == cfg.hidden_size):
+        from ..ops.pallas_bert_layer import bert_layer_fused
+        train = not deterministic
+        for layer in params["layers"]:
+            if train and rng is not None:
+                rng, r = jax.random.split(rng)
+                seeds = jax.random.randint(r, (3,), 0, 2**31 - 1,
+                                           dtype=jnp.int32)
+            else:
+                train = False
+                seeds = jnp.zeros((3,), jnp.int32)
+            wqkv = jnp.concatenate(
+                [layer["q"]["w"], layer["k"]["w"], layer["v"]["w"]], axis=1)
+            bqkv = jnp.concatenate(
+                [layer["q"]["b"], layer["k"]["b"], layer["v"]["b"]])
+            x = bert_layer_fused(
+                x, mask_row, seeds, wqkv, bqkv,
+                layer["attn_out"]["w"], layer["attn_out"]["b"],
+                layer["attn_ln"]["gamma"], layer["attn_ln"]["beta"],
+                layer["ffn_in"]["w"], layer["ffn_in"]["b"],
+                layer["ffn_out"]["w"], layer["ffn_out"]["b"],
+                layer["ffn_ln"]["gamma"], layer["ffn_ln"]["beta"],
+                cfg.num_heads, cfg.layer_norm_eps,
+                cfg.attention_dropout if train else 0.0,
+                cfg.hidden_dropout if train else 0.0, train)
+        return x
 
     for layer in params["layers"]:
         if not deterministic:

@@ -626,3 +626,145 @@ def test_pallas_qrows_backward_all_grads():
     for a, b_, nm in zip(gk, gd, "x wq wk wv wo qs ks bias".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4,
                                    rtol=5e-4, err_msg=nm)
+
+
+# ---------------------------------------------------------------------------
+# fused BERT encoder layer (the text-tower train-step kernel)
+# ---------------------------------------------------------------------------
+
+def _bert_layer_args(key, d=128, f=256, heads=4, b=2, n=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 12)
+    x = jax.random.normal(ks[0], (b, n, d)).astype(dtype)
+    mask = np.zeros((b, n), np.float32)
+    mask[1, n - 3:] = np.finfo(np.float32).min      # padded keys on row 1
+    wqkv = jax.random.normal(ks[1], (d, 3 * d)) / np.sqrt(d)
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.1
+    wo = jax.random.normal(ks[3], (d, d)) / np.sqrt(d)
+    bo = jax.random.normal(ks[4], (d,)) * 0.1
+    g1 = 1.0 + jax.random.normal(ks[5], (d,)) * 0.1
+    be1 = jax.random.normal(ks[6], (d,)) * 0.1
+    w1 = jax.random.normal(ks[7], (d, f)) / np.sqrt(d)
+    b1 = jax.random.normal(ks[8], (f,)) * 0.1
+    w2 = jax.random.normal(ks[9], (f, d)) / np.sqrt(f)
+    b2 = jax.random.normal(ks[10], (d,)) * 0.1
+    g2 = 1.0 + jax.random.normal(ks[11], (d,)) * 0.1
+    be2 = jnp.zeros((d,))
+    return (x, jnp.asarray(mask), wqkv, bqkv, wo, bo, g1, be1, w1, b1, w2,
+            b2, g2, be2)
+
+
+def test_pallas_bert_layer_matches_xla():
+    from ct_clip_ut_tpu.ops.pallas_bert_layer import (bert_layer_fused,
+                                                      bert_layer_xla)
+    args = _bert_layer_args(jax.random.PRNGKey(5))
+    x, mask, *w = args
+    want = bert_layer_xla(x, mask, *w, 4, 1e-12)
+    got = bert_layer_fused(x, mask, jnp.zeros(3, jnp.int32), *w,
+                           4, 1e-12, 0.0, 0.0, False, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_bert_layer_backward_all_grads():
+    """Fused backward (interpret) == XLA-twin autodiff for x and every
+    weight/bias/LN parameter."""
+    from ct_clip_ut_tpu.ops.pallas_bert_layer import (bert_layer_fused,
+                                                      bert_layer_xla)
+    args = _bert_layer_args(jax.random.PRNGKey(6))
+    x, mask, *w = args
+    seeds = jnp.zeros(3, jnp.int32)
+
+    def loss_k(x, *w):
+        out = bert_layer_fused(x, mask, seeds, *w, 4, 1e-12, 0.0, 0.0,
+                               False, True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_t(x, *w):
+        out = bert_layer_xla(x, mask, *w, 4, 1e-12)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    argnums = tuple(range(1 + len(w)))
+    gk = jax.grad(loss_k, argnums=argnums)(x, *w)
+    gt = jax.grad(loss_t, argnums=argnums)(x, *w)
+    names = "x wqkv bqkv wo bo g1 be1 w1 b1 w2 b2 g2 be2".split()
+    for a, b_, nm in zip(gk, gt, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3, err_msg=nm)
+
+
+def test_pallas_bert_layer_dropout():
+    """Train-mode dropout: deterministic per seed, distinct across seeds,
+    and the custom-VJP gradient matches a finite difference THROUGH the
+    same masks (forward and backward regenerate identical masks).
+
+    TPU-only: the Pallas interpreter's prng_random_bits is a zeros stub on
+    CPU (probed 2026-08-20), so this runs in the on-chip drive
+    (tools/drive_bert_kernel.py) and skips in the CPU suite."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU hardware PRNG required (interpreter stubs it)")
+    from ct_clip_ut_tpu.ops.pallas_bert_layer import bert_layer_fused
+    args = _bert_layer_args(jax.random.PRNGKey(7))
+    x, mask, *w = args
+    seeds = jnp.asarray([11, 22, 33], jnp.int32)
+
+    def f(x):
+        return bert_layer_fused(x, mask, seeds, *w, 4, 1e-12, 0.25, 0.25,
+                                True, False)
+
+    out1, out2 = f(x), f(x)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = bert_layer_fused(x, mask, jnp.asarray([99, 98, 97], jnp.int32),
+                            *w, 4, 1e-12, 0.25, 0.25, True, False)
+    assert np.abs(np.asarray(out3) - np.asarray(out1)).max() > 1e-3
+
+    # linear loss: a quadratic loss's directional delta sits ~6 ulps above
+    # the fp32 loss magnitude and the fd drowns in cancellation (measured
+    # on-chip 2026-08-20); the inner product keeps the delta O(1)
+    r = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    loss = lambda x: jnp.sum(f(x).astype(jnp.float32) * r)
+    g = jax.grad(loss)(x)
+    v = jax.random.normal(jax.random.PRNGKey(9), x.shape) * 3e-3
+    fd = (loss(x + v) - loss(x - v)) / 2.0
+    analytic = jnp.sum(g * v)
+    np.testing.assert_allclose(float(fd), float(analytic),
+                               rtol=5e-2, atol=1e-4)
+
+
+def test_bert_apply_fused_wiring_matches_xla():
+    """The routing wiring (QKV concat order, mask rows, LN params) drives
+    bert_layer_fused to the same numbers as the XLA bert_apply path."""
+    from ct_clip_ut_tpu.config import BertConfig
+    from ct_clip_ut_tpu.models.bert import bert_apply, init_bert
+    from ct_clip_ut_tpu.ops.pallas_bert_layer import bert_layer_fused
+
+    cfg = BertConfig(vocab_size=64, hidden_size=128, num_layers=2,
+                     num_heads=4, intermediate_size=256,
+                     max_position_embeddings=32)
+    params = init_bert(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 64)
+    att = jnp.ones((2, 16), jnp.int32).at[1, 13:].set(0)
+
+    want = bert_apply(params, cfg, ids, att)   # CPU: XLA path
+
+    # replicate the embedding stage, then the fused layers (interpret)
+    e = params["embeddings"]
+    from ct_clip_ut_tpu.ops.layers import layernorm
+    x = (jnp.take(e["word"], ids, axis=0) + e["position"][None, :16]
+         + jnp.take(e["token_type"], jnp.zeros_like(ids), axis=0))
+    x = layernorm(e["ln"], x, eps=cfg.layer_norm_eps)
+    mask_row = (1.0 - att.astype(jnp.float32)) * np.finfo(np.float32).min
+    for layer in params["layers"]:
+        wqkv = jnp.concatenate([layer["q"]["w"], layer["k"]["w"],
+                                layer["v"]["w"]], axis=1)
+        bqkv = jnp.concatenate([layer["q"]["b"], layer["k"]["b"],
+                                layer["v"]["b"]])
+        x = bert_layer_fused(
+            x, mask_row, jnp.zeros(3, jnp.int32), wqkv, bqkv,
+            layer["attn_out"]["w"], layer["attn_out"]["b"],
+            layer["attn_ln"]["gamma"], layer["attn_ln"]["beta"],
+            layer["ffn_in"]["w"], layer["ffn_in"]["b"],
+            layer["ffn_out"]["w"], layer["ffn_out"]["b"],
+            layer["ffn_ln"]["gamma"], layer["ffn_ln"]["beta"],
+            cfg.num_heads, cfg.layer_norm_eps, 0.0, 0.0, False, True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
