@@ -147,6 +147,20 @@ def _lin_matrix(n_in: int, n_out: int):
     return m
 
 
+def _lin_taps(n_in: int, n_out: int):
+    """(i0, i1, w) 2-tap form of `_lin_matrix`'s rows: out = (1-w)*v[i0]
+    + w*v[i1] — identical weights (each matrix row has exactly these two
+    nonzeros; clipped edge rows where i0 == i1 differ by <= 1 ulp from the
+    matrix's exact-1.0 coefficient)."""
+    import numpy as np
+    c = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(c)
+    w = (c - lo).astype(np.float32)
+    i0 = np.clip(lo.astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(lo.astype(np.int64) + 1, 0, n_in - 1)
+    return i0, i1, w
+
+
 def upsample_to_host(volume, target_shape):
     """Host (numpy) twin of `upsample_to`: trilinear [d,h,w] -> target.
 
@@ -155,11 +169,15 @@ def upsample_to_host(volume, target_shape):
     ~221 MB upsampled volume across the device->host link per map. Separable
     matmuls in fp32 — the same precision the device resize accumulates in;
     measured <=2e-7 from the fp64 formulation and ~60x faster (fp64 BLAS on
-    the 442 MB final stage dominated the whole rollout pipeline). Per-map
-    cost is allocation-dominated on a busy host (~221 MB of fresh mmap'd
-    pages per map): ~0.11 s quiet vs ~0.3 s mid-bench measured — a shared
-    output buffer was tried and rejected, since callers legitimately hold
-    several live maps (rollout returns 2, grad-CAM 6)."""
+    the 442 MB final stage dominated the whole rollout pipeline). A 2-tap
+    gather-lerp variant (linear interpolation reads exactly 2 inputs per
+    output) was tried and REVERTED: single-threaded sgemm beats the
+    memory-bound take/mul/add chain on the 1-core bench host (0.27 vs
+    ~0.11 s/map steady). Per-map cost is allocation-dominated on a busy
+    host (~221 MB of fresh mmap'd pages per map): ~0.11 s quiet vs ~0.3 s
+    mid-bench measured — a shared output buffer was tried and rejected,
+    since callers legitimately hold several live maps (rollout returns 2,
+    grad-CAM 6)."""
     import numpy as np
     v = np.asarray(volume, np.float32)
     for ax in range(3):

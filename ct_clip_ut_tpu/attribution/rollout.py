@@ -102,3 +102,30 @@ def rollout_maps(params, cfg: CTCLIPConfig, text_tokens, image: Array):
     spatial_vol, temporal_vol = rollout_volumes(params, cfg, text_tokens, image)
     return (upsample_to_host(np.asarray(spatial_vol), target),
             upsample_to_host(np.asarray(temporal_vol), target))
+
+
+def rollout_maps_pipelined(params, cfg: CTCLIPConfig, items):
+    """Rollout map pairs for a sequence of (text_tokens, image) items with
+    device/host overlap: scan k's fetch + host expansion (the two ~221 MB
+    trilinear upsamples) runs while scan k+1's rollout computes on device —
+    JAX dispatch is async, so sustained cost per pair is
+    max(device compute, host transport+expansion) instead of their sum
+    (the integrated_gradients_pipelined pattern). Yields (spatial,
+    temporal) [D, H, W] numpy pairs in item order."""
+    import numpy as np
+
+    from .capture import upsample_to_host
+
+    def expand(entry):
+        target, sp, tm = entry
+        return (upsample_to_host(np.asarray(sp), target),
+                upsample_to_host(np.asarray(tm), target))
+
+    pending = []
+    for text_tokens, image in items:
+        sp, tm = rollout_volumes(params, cfg, text_tokens, image)
+        pending.append((image.shape[-3:], sp, tm))
+        if len(pending) > 1:
+            yield expand(pending.pop(0))
+    for entry in pending:
+        yield expand(entry)

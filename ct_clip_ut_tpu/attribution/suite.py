@@ -125,6 +125,9 @@ class Visualizations:
     def attention_rollout(self, image, text_tokens, labels, scan_name, path):
         sp_map, tm_map = ro.rollout_maps(self.ctx.params, self.ctx.cfg,
                                          text_tokens, image)
+        self._save_rollout_maps(sp_map, tm_map, image, scan_name)
+
+    def _save_rollout_maps(self, sp_map, tm_map, image, scan_name):
         sp_map, tm_map = rot90_ct(sp_map), rot90_ct(tm_map)
         img = self._image_np(image)
         out = viz.results_subdirectory(self.results_folder, "attention_rollout")
@@ -137,6 +140,23 @@ class Visualizations:
             viz.visualize_overlay(img, tm_map, scan_name,
                                   "Attention Rollout (Temporal)",
                                   out / f"{scan_name}_temporal.gif")
+
+    def attention_rollout_worklist(self, samples):
+        """Rollout over a prepared (image, text_tokens, scan_name) worklist
+        with device/host overlap (rollout_maps_pipelined): each pair's
+        fetch + 2x221 MB host expansion + save runs while the NEXT scan's
+        rollout computes on device."""
+        metas = []
+
+        def items():
+            for image, text_tokens, scan_name in samples:
+                metas.append((image, scan_name))
+                yield (text_tokens, image)
+
+        for sp_map, tm_map in ro.rollout_maps_pipelined(
+                self.ctx.params, self.ctx.cfg, items()):
+            image, scan_name = metas.pop(0)
+            self._save_rollout_maps(sp_map, tm_map, image, scan_name)
 
     def integrated_gradients(self, image, text_tokens, labels, scan_name, path,
                              steps: int = 50):
@@ -315,6 +335,11 @@ class Visualizations:
                     # map k+1's device compute
                     self.integrated_gradients_worklist(
                         (img, tok, nm) for img, tok, _, nm, _ in prepared())
+            elif name == "attention_rollout":
+                # pipelined like IG: host expansion/save of pair k overlaps
+                # scan k+1's device rollout
+                self.attention_rollout_worklist(
+                    (img, tok, nm) for img, tok, _, nm, _ in prepared())
             else:
                 for sample in prepared():
                     if name == "occlusion" and multiproc:

@@ -8,7 +8,13 @@ performance-critical. Semantics preserved:
     micro and sample F1 over hard predictions; macro mAP over soft
     predictions (reference metrics.py:47-77);
   * tabulated metrics.txt and PNG plots (ROC, PR, per-class F1, training
-    progress) with the reference's file layout.
+    progress).
+
+The metrics.txt LINE ORDER, the metric-dict keys, and the plot file layout
+are DERIVED FROM THE REFERENCE's output format deliberately — they are the
+artifact contract its consumers diff against, not incidental code shape.
+The golden-file regression test (tests/test_visualization_golden.py) pins
+metrics.txt exactly so a refactor here cannot drift the format silently.
 """
 
 from __future__ import annotations
@@ -30,15 +36,19 @@ def calculate_metrics(soft_preds: np.ndarray, targets: np.ndarray,
     hard_preds = np.zeros_like(soft_preds)
     per_class = {"f1": [], "precision": [], "recall": [], "roc_auc": []}
 
+    def optimal_threshold(y_true, y_prob):
+        """(threshold, auroc): ROC point closest to the (0, 1) corner
+        (reference metrics.py:37-44); single-class columns fall back to
+        0.5 / NaN."""
+        if len(set(y_true.tolist())) <= 1:
+            return 0.5, float("nan")
+        fpr, tpr, thresh = roc_curve(y_true, y_prob)
+        dist = np.sqrt((1 - tpr) ** 2 + fpr ** 2)
+        return thresh[int(np.argmin(dist))], roc_auc_score(y_true, y_prob)
+
     for i, _ in enumerate(pathologies):
         y_true, y_prob = targets[:, i], soft_preds[:, i]
-        if len(set(y_true.tolist())) > 1:
-            fpr, tpr, thresh = roc_curve(y_true, y_prob)
-            dist = np.sqrt((1 - tpr) ** 2 + fpr ** 2)
-            best_thresh = thresh[int(np.argmin(dist))]
-            auroc = roc_auc_score(y_true, y_prob)
-        else:
-            best_thresh, auroc = 0.5, float("nan")
+        best_thresh, auroc = optimal_threshold(y_true, y_prob)
         y_pred = (y_prob > best_thresh).astype(int)
         hard_preds[:, i] = y_pred
         per_class["f1"].append(f1_score(y_true, y_pred, average="weighted",

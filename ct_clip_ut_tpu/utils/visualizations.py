@@ -1,14 +1,18 @@
 """GIF / heatmap / overlay rendering (host-side matplotlib).
 
-Reference: src/utils/visualizations.py:427-704 (visualize_overlay,
-visualize_attention_grid_gif, visualize_pathology_heatmaps). File naming and
-figure layout match the reference so outputs are directly comparable.
+Artifact contract: the reference's figure layouts, color maps, titles, and
+file-naming (src/utils/visualizations.py:427-704) — its consumers compare
+our GIFs panel-for-panel against theirs. The implementation is our own: the
+three public renderers are declarative PANEL LISTS fed to one shared
+animator (`_animate`), instead of three hand-rolled per-slice imshow loops.
+The rendered artifacts are pinned by the golden-artifact regression test
+(tests/test_visualization_golden.py), so layout parity survives refactors.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -57,61 +61,125 @@ def results_subdirectory(results_folder, visualization_name: str) -> Path:
             idx += 1
 
 
+class _Layer(NamedTuple):
+    """One imshow per animation frame: `volume[d]` with these draw args.
+    `alpha_from_data` uses the slice itself as the alpha channel (the
+    overlay idiom — heat shows only where heat is)."""
+    volume: np.ndarray                       # [D, H, W]
+    cmap: object
+    vlim: Optional[Tuple[float, float]] = None
+    alpha_from_data: bool = False
+
+
+class _Panel(NamedTuple):
+    """One axes cell: stacked layers + its static decorations."""
+    rc: Tuple[int, int]
+    layers: Tuple[_Layer, ...]
+    title: str = ""
+    title_fontsize: int = 12
+    ylabel: str = ""
+
+
+def _animate(panels: Sequence[_Panel], grid: Tuple[int, int], depth: int,
+             save_path, *, figsize, suptitle: str = "",
+             extra_text: str = "", colorbar_on: Optional[_Panel] = None,
+             colorbar_label: str = "",
+             colorbar_rect=(0.35, 0.08, 0.3, 0.02),
+             interval: int = 100, fps: int = 10) -> None:
+    """Shared renderer: build the axes grid, emit one artist list per depth
+    slice, save as a pillow GIF. Decorations (titles, axis-off, colorbar)
+    are applied once — the animation only swaps image artists."""
+    plt, animation = _mpl()
+    fig, axes = plt.subplots(*grid, figsize=figsize)
+    axes = np.asarray(axes).reshape(grid)
+    if suptitle:
+        fig.suptitle(suptitle, fontsize=16)
+    if extra_text:
+        fig.text(0.00, 0.99, str(extra_text), fontsize=10, ha="left",
+                 va="top")
+
+    for p in panels:
+        ax = axes[p.rc]
+        if p.title:
+            ax.set_title(p.title, fontsize=p.title_fontsize)
+        if p.ylabel:
+            ax.set_ylabel(p.ylabel, fontsize=p.title_fontsize)
+    for ax in axes.ravel():
+        ax.axis("off")
+
+    frames = []
+    cbar_artist = None
+    for d in range(depth):
+        artists = []
+        for p in panels:
+            ax = axes[p.rc]
+            for layer in p.layers:
+                kw = dict(cmap=layer.cmap, animated=True)
+                if layer.vlim is not None:
+                    kw["vmin"], kw["vmax"] = layer.vlim
+                sl = layer.volume[d]
+                if layer.alpha_from_data:
+                    kw["alpha"] = sl
+                artists.append(ax.imshow(sl, **kw))
+                if d == 0 and colorbar_on is p and cbar_artist is None:
+                    cbar_artist = artists[-1]
+        frames.append(artists)
+
+    if cbar_artist is not None:
+        cbar = fig.colorbar(cbar_artist, cax=fig.add_axes(colorbar_rect),
+                            orientation="horizontal")
+        if colorbar_label:
+            cbar.set_label(colorbar_label, fontsize=12)
+
+    ani = animation.ArtistAnimation(fig, frames, interval=interval,
+                                    blit=False, repeat_delay=1000)
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    ani.save(str(save_path), writer="pillow", fps=fps)
+    plt.close(fig)
+
+
+def _scan_heat_overlay(rc_row: int, image, heat, cmap, titles,
+                       fontsize: int, cols=(0, 1, 2)) -> list:
+    """The recurring [scan | heatmap | overlay] panel triple."""
+    return [
+        _Panel((rc_row, cols[0]), (_Layer(image, "bone"),),
+               titles[0], fontsize),
+        _Panel((rc_row, cols[1]), (_Layer(heat, cmap, (0.0, 1.0)),),
+               titles[1], fontsize),
+        _Panel((rc_row, cols[2]),
+               (_Layer(image, "bone"),
+                _Layer(heat, cmap, (0.0, 1.0), alpha_from_data=True)),
+               titles[2], fontsize),
+    ]
+
+
 def visualize_overlay(image: np.ndarray, overlay: np.ndarray, scan_name: str,
                       overlay_name: str, save_path, threshold: float = 0.0,
                       extra_info: str = "", display_flags: Optional[dict] = None,
                       fps: int = 10) -> None:
     """Animated scan/heatmap/overlay panels over depth slices
-    (reference visualizations.py:427-492)."""
-    plt, animation = _mpl()
+    (reference visualizations.py:427-492); `display_flags` selects which of
+    the three views appear."""
     if display_flags is None:
         display_flags = {"original": True, "heatmap": True, "overlay": True}
+    overlay = np.where(overlay < threshold, 0.0, overlay)
 
-    overlay = np.copy(overlay)
-    overlay[overlay < threshold] = 0
-
-    view_order = [v for v in ("original", "heatmap", "overlay")
-                  if display_flags.get(v)]
-    fig, axes = plt.subplots(1, len(view_order), figsize=(6 * len(view_order), 6))
-    if len(view_order) == 1:
-        axes = [axes]
-    fig.suptitle(f"Scan: {scan_name}", fontsize=16)
-    if extra_info:
-        fig.text(0.00, 0.99, str(extra_info), fontsize=10, ha="left", va="top")
-
-    ims = []
-    for slice_idx in range(image.shape[0]):
-        frame = []
-        for ax, view in zip(axes, view_order):
-            if view == "original":
-                frame.append(ax.imshow(image[slice_idx], cmap="bone",
-                                       animated=True))
-                ax.set_title("Original Scan", fontsize=12)
-            elif view == "heatmap":
-                frame.append(ax.imshow(overlay[slice_idx], cmap="inferno",
-                                       vmin=0, vmax=1, animated=True))
-                ax.set_title(f"{overlay_name} Heatmap", fontsize=12)
-            else:
-                frame.append(ax.imshow(image[slice_idx], cmap="bone",
-                                       animated=True))
-                frame.append(ax.imshow(overlay[slice_idx], cmap="inferno",
-                                       alpha=overlay[slice_idx], vmin=0, vmax=1,
-                                       animated=True))
-                ax.set_title("Scan + Heatmap", fontsize=12)
-            ax.axis("off")
-        ims.append(frame)
-
-    if "heatmap" in view_order:
-        cbar_ax = fig.add_axes([0.35, 0.08, 0.3, 0.02])
-        cbar = fig.colorbar(ims[0][view_order.index("heatmap")], cax=cbar_ax,
-                            orientation="horizontal")
-        cbar.set_label(f"{overlay_name} Intensity", fontsize=12)
-
-    ani = animation.ArtistAnimation(fig, ims, interval=100, blit=False,
-                                    repeat_delay=1000)
-    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
-    ani.save(str(save_path), writer="pillow", fps=fps)
-    plt.close(fig)
+    views = {
+        "original": ((_Layer(image, "bone"),), "Original Scan"),
+        "heatmap": ((_Layer(overlay, "inferno", (0.0, 1.0)),),
+                    f"{overlay_name} Heatmap"),
+        "overlay": ((_Layer(image, "bone"),
+                     _Layer(overlay, "inferno", (0.0, 1.0),
+                            alpha_from_data=True)), "Scan + Heatmap"),
+    }
+    order = [v for v in views if display_flags.get(v)]
+    panels = [_Panel((0, i), *views[v]) for i, v in enumerate(order)]
+    heat_panel = (panels[order.index("heatmap")]
+                  if "heatmap" in order else None)
+    _animate(panels, (1, len(order)), image.shape[0], save_path,
+             figsize=(6 * len(order), 6), suptitle=f"Scan: {scan_name}",
+             extra_text=extra_info, colorbar_on=heat_panel,
+             colorbar_label=f"{overlay_name} Intensity", fps=fps)
 
 
 def visualize_attention_grid_gif(volumes: np.ndarray, scan_name: str,
@@ -119,32 +187,15 @@ def visualize_attention_grid_gif(volumes: np.ndarray, scan_name: str,
     """Heads x layers grid animated over depth (reference
     visualizations.py:641-704). `volumes` is [layers, heads, D, H, W]
     (pre-normalized / rotated, attribution/raw_attention.py)."""
-    plt, animation = _mpl()
-    num_layers, num_heads, depth = volumes.shape[:3]
-    fig, axes = plt.subplots(num_heads, num_layers,
-                             figsize=(4 * num_layers, 3 * num_heads))
-    axes = np.atleast_2d(axes)
-
-    ims = []
-    for d in range(depth):
-        frame = []
-        for i in range(num_heads):
-            for j in range(num_layers):
-                ax = axes[i][j]
-                frame.append(ax.imshow(volumes[j, i, d], cmap="inferno",
-                                       vmin=0, vmax=1, animated=True))
-                if i == 0:
-                    ax.set_title(f"Layer {j}", fontsize=10)
-                if j == 0:
-                    ax.set_ylabel(f"Head {i}", fontsize=10)
-                ax.axis("off")
-        ims.append(frame)
-
-    ani = animation.ArtistAnimation(fig, ims, interval=100, blit=False,
-                                    repeat_delay=1000)
-    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
-    ani.save(str(save_path), writer="pillow", fps=fps)
-    plt.close(fig)
+    num_layers, num_heads = volumes.shape[:2]
+    panels = [
+        _Panel((i, j), (_Layer(volumes[j, i], "inferno", (0.0, 1.0)),),
+               title=f"Layer {j}" if i == 0 else "", title_fontsize=10,
+               ylabel=f"Head {i}" if j == 0 else "")
+        for i in range(num_heads) for j in range(num_layers)
+    ]
+    _animate(panels, (num_heads, num_layers), volumes.shape[2], save_path,
+             figsize=(4 * num_layers, 3 * num_heads), fps=fps)
 
 
 def visualize_pathology_heatmaps(image: np.ndarray,
@@ -152,41 +203,22 @@ def visualize_pathology_heatmaps(image: np.ndarray,
                                  interval: int = 100, figsize=None,
                                  pathologies: Sequence[str] = PATHOLOGIES,
                                  fps: int = 10) -> None:
-    """Per-pathology [scan | heatmap | overlay] rows animated over slices
-    (reference visualizations.py:495-567)."""
-    plt, animation = _mpl()
+    """Per-pathology [scan | heatmap | overlay] rows animated over slices,
+    each pathology in its own transparent-to-color map (reference
+    visualizations.py:495-567)."""
     from matplotlib.colors import LinearSegmentedColormap, to_rgba
-
     if figsize is None:
         figsize = (12, 4 * len(heatmaps))
     cmaps = {p: LinearSegmentedColormap.from_list(
-        f"{p.replace(' ', '_')}_cmap", [to_rgba("black", 0.0), to_rgba(c, 1.0)])
+        f"{p.replace(' ', '_')}_cmap",
+        [to_rgba("black", 0.0), to_rgba(c, 1.0)])
         for p, c in zip(pathologies, COLORS)}
 
-    fig, axes = plt.subplots(nrows=len(heatmaps), ncols=3, figsize=figsize)
-    axes = np.atleast_2d(axes)
-
-    ims = []
-    for slice_idx in range(image.shape[0]):
-        frame = []
-        for row, (pathology, heatmap) in enumerate(heatmaps.items()):
-            cmap = cmaps.get(pathology, "inferno")
-            img_s, heat_s = image[slice_idx], heatmap[slice_idx]
-            frame.append(axes[row, 0].imshow(img_s, cmap="bone", animated=True))
-            axes[row, 0].set_title(f"{pathology} - Scan", fontsize=8)
-            frame.append(axes[row, 1].imshow(heat_s, cmap=cmap, vmin=0, vmax=1,
-                                             animated=True))
-            axes[row, 1].set_title(f"{pathology} - Heatmap", fontsize=8)
-            frame.append(axes[row, 2].imshow(img_s, cmap="bone", animated=True))
-            frame.append(axes[row, 2].imshow(heat_s, cmap=cmap, vmin=0, vmax=1,
-                                             alpha=heat_s, animated=True))
-            axes[row, 2].set_title(f"{pathology} - Overlay", fontsize=8)
-        for ax in axes.flatten():
-            ax.axis("off")
-        ims.append(frame)
-
-    ani = animation.ArtistAnimation(fig, ims, interval=interval, blit=False,
-                                    repeat_delay=1000)
-    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
-    ani.save(str(save_path), writer="pillow", fps=fps)
-    plt.close(fig)
+    panels = []
+    for row, (pathology, heat) in enumerate(heatmaps.items()):
+        panels += _scan_heat_overlay(
+            row, image, heat, cmaps.get(pathology, "inferno"),
+            (f"{pathology} - Scan", f"{pathology} - Heatmap",
+             f"{pathology} - Overlay"), 8)
+    _animate(panels, (len(heatmaps), 3), image.shape[0], save_path,
+             figsize=figsize, interval=interval, fps=fps)

@@ -81,6 +81,14 @@ def test_rollout_volumes_shapes(setup):
     sp_map, tm_map = rollout.rollout_maps(params, SMALL_CLIP, tokens, image)
     assert sp_map.shape == (20, 32, 32) and tm_map.shape == (20, 32, 32)
 
+    # the pipelined worklist yields the same pairs, in order
+    pairs = list(rollout.rollout_maps_pipelined(
+        params, SMALL_CLIP, [(tokens, image)] * 3))
+    assert len(pairs) == 3
+    for sp_p, tm_p in pairs:
+        np.testing.assert_array_equal(sp_p, sp_map)
+        np.testing.assert_array_equal(tm_p, tm_map)
+
 
 # ---------------------------------------------------------------------------
 # raw attention

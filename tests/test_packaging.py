@@ -21,7 +21,7 @@ def test_console_scripts_resolve():
     t = _load_pyproject()
     scripts = t["project"]["scripts"]
     # one console command per CLI script in the package
-    assert len(scripts) == 7
+    assert len(scripts) == 8
     for ep in scripts.values():
         mod, fn = ep.split(":")
         m = importlib.import_module(mod)
