@@ -415,10 +415,16 @@ class CTClipTrainer:
                             "train_cfg": repr(self.cfg)}, indent=2))
             # data-position sidecar: lets load_model resume EXACTLY at this
             # step (sampler epoch + batches consumed). Atomic for the same
-            # reason the checkpoint write is.
+            # reason the checkpoint write is; `global_step` stamps which
+            # checkpoint it belongs to — a crash BETWEEN the checkpoint
+            # rename and this rename leaves a stale sidecar, and resuming
+            # from a stale position would re-apply (or skip) batches. The
+            # loader detects the mismatch and re-derives the position from
+            # the checkpoint's own step counter.
             pos_path = self.results_folder / (name + ".pos.json")
             tmp = pos_path.with_name(pos_path.name + ".tmp")
-            tmp.write_text(json.dumps(self._pos))
+            tmp.write_text(json.dumps(
+                {**self._pos, "global_step": int(self.state.step)}))
             tmp.replace(pos_path)
 
     def load_model(self, path):
@@ -444,7 +450,6 @@ class CTClipTrainer:
             buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
             raw = bytes(buf[buf != 0])
             pos = json.loads(raw.decode()) if raw else None
-        self._resume_pos = pos
         if self.cfg.sharded_checkpoints:
             self.state = ckpt.load_checkpoint_sharded(path, self.state)
         else:
@@ -462,6 +467,29 @@ class CTClipTrainer:
                 return r
 
             self.state = jax.tree.map(replace, restored, self.state)
+
+        step = int(self.state.step)
+        if (pos is not None and pos.get("global_step") is not None
+                and int(pos["global_step"]) != step):
+            # stale sidecar (crash landed between the checkpoint rename and
+            # the sidecar rename): the batch position it describes belongs
+            # to an OLDER checkpoint — resuming from it would re-apply (or
+            # skip) batches the restored state already consumed. The data
+            # order is a pure function of (epoch, batch index), so the true
+            # position derives from the restored step counter alone when
+            # steps_per_epoch is known; the partial epoch's loss sum is
+            # lost (its average will cover post-resume steps only).
+            spe = pos.get("steps_per_epoch")
+            if spe:
+                pos = {"epoch": step // int(spe) + 1,
+                       "step_in_epoch": step % int(spe),
+                       "steps_per_epoch": int(spe)}
+                self.maybe_print(
+                    f"resume sidecar was stale (crash window); position "
+                    f"re-derived from step {step}")
+            else:
+                pos = None     # epoch-level fallback (unsized data stream)
+        self._resume_pos = pos
 
     # -- loops --------------------------------------------------------------
 
