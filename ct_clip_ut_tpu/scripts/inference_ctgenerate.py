@@ -14,10 +14,25 @@ from pathlib import Path
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data-valid", required=True)
-    p.add_argument("--valid-reports", required=True)
-    p.add_argument("--valid-labels", required=True)
-    p.add_argument("--valid-metadata", required=True)
+    p.add_argument("--data-valid", default=None,
+                   help="valid split (required unless --generate)")
+    p.add_argument("--valid-reports", default=None)
+    p.add_argument("--valid-labels", default=None)
+    p.add_argument("--valid-metadata", default=None)
+    p.add_argument("--generate", nargs="*", metavar="PROMPT", default=None,
+                   help="GenerateCT mode: iteratively decode a CT token "
+                        "grid per prompt with maskgit_generate (the "
+                        "capability the reference carries the architecture "
+                        "for but never runs; its released snapshot strips "
+                        "the CT-ViT decoder weights, so the output is the "
+                        "[t, h, w] codebook-id grid saved as .npy)")
+    p.add_argument("--generate-steps", type=int, default=18,
+                   help="MaskGIT decode iterations")
+    p.add_argument("--generate-temperature", type=float, default=1.0)
+    p.add_argument("--generate-frames", type=int, default=201,
+                   help="target scan depth; the token grid is "
+                        "(1+(frames-1)/tps, H/ps, W/ps)")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--results-folder", default="./results/valid/ctgenerate")
     p.add_argument("--checkpoint", required=True,
                    help="torch ctgenerate_filtered.pt or native .msgpack")
@@ -33,7 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.generate is None:
+        missing = [f for f in ("data_valid", "valid_reports", "valid_labels",
+                               "valid_metadata") if getattr(args, f) is None]
+        if missing:
+            parser.error("localization mode needs --data-valid/"
+                         "--valid-reports/--valid-labels/--valid-metadata "
+                         "(or pass --generate PROMPT...)")
+    elif not args.generate:
+        parser.error("--generate needs at least one prompt")
 
     import jax
     import jax.numpy as jnp
@@ -63,13 +88,37 @@ def main(argv=None):
     params = jax.device_put(params)
 
     t5 = T5TextConditioner(params["t5"], cfg.t5, tokenizer)
+    results = Path(args.results_folder)
+    results.mkdir(parents=True, exist_ok=True)
+
+    if args.generate is not None:
+        # GenerateCT decode: report prompt -> T5 context -> iterative
+        # MaskGIT confidence decode -> [t, h, w] codebook-id grid
+        from ..models.ctvit import token_grid_shape
+        from ..models.maskgit import maskgit_generate
+        vit = cfg.ctvit
+        grid = token_grid_shape(vit, (args.generate_frames, vit.image_size,
+                                      vit.image_size))
+        text_embed, text_mask = t5.encode(list(args.generate))
+        ids = maskgit_generate(params["maskgit"], cfg.maskgit, text_embed,
+                               grid, text_mask=text_mask,
+                               steps=args.generate_steps,
+                               temperature=args.generate_temperature,
+                               rng=jax.random.PRNGKey(args.seed))
+        ids = np.asarray(ids).reshape(len(args.generate), *grid)
+        for i, prompt in enumerate(args.generate):
+            slug = "_".join(prompt.lower().split())[:60]
+            out = results / f"generated_{i}_{slug}_tokens.npy"
+            np.save(out, ids[i])
+            print(f"[generate] {out}  grid {grid}  "
+                  f"unique tokens {len(np.unique(ids[i]))}")
+        print(f"Generated {len(args.generate)} token grid(s) -> {results}")
+        return
+
     ds = InferenceDataset(args.data_valid, args.valid_reports,
                           args.valid_metadata, args.valid_labels,
                           num_samples=args.num_valid_samples,
                           model_type="ctgenerate")
-
-    results = Path(args.results_folder)
-    results.mkdir(parents=True, exist_ok=True)
 
     mesh = None
     if args.mesh_data is not None:

@@ -103,6 +103,23 @@ def test_ctgenerate_parser():
         "--valid-labels", "l.csv", "--valid-metadata", "m.csv",
         "--checkpoint", "g.pt"])
     assert args.num_valid_samples == 1  # reference default
+    assert args.generate is None
+
+    gen = inference_ctgenerate.build_parser().parse_args([
+        "--checkpoint", "g.pt", "--generate", "a small lung nodule",
+        "--generate-steps", "6"])
+    assert gen.generate == ["a small lung nodule"]
+    assert gen.generate_steps == 6 and gen.data_valid is None
+
+
+def test_ctgenerate_cli_mode_validation():
+    """Localization mode without the data flags, and --generate without a
+    prompt, both fail fast in the parser."""
+    import pytest
+    with pytest.raises(SystemExit):
+        inference_ctgenerate.main(["--checkpoint", "g.pt"])
+    with pytest.raises(SystemExit):
+        inference_ctgenerate.main(["--checkpoint", "g.pt", "--generate"])
 
 
 def test_embedding_arithmetic_parser():
