@@ -212,13 +212,18 @@ def bench_kernel_parity() -> dict:
     # compute dtype there), b=1 the per-item grid. Backward is the XLA twin
     # by construction (custom VJP), so only forwards need the chip check.
     from ct_clip_ut_tpu.ops.pallas_attn_qrows import attention_qrows_fused
-    dh_q, n_q = 64, 1024
+    dh_q, n_q = 64, 1024                 # MaskGit head geometry (8 x 64)
+    hd_q = h * dh_q
+    wq_q = (jax.random.normal(ks[1], (d, hd_q)) / 23).astype(dt)
+    wk_q = (jax.random.normal(ks[2], (d, hd_q)) / 23).astype(dt)
+    wv_q = (jax.random.normal(ks[3], (d, hd_q)) / 23).astype(dt)
+    wo_q = (jax.random.normal(ks[4], (hd_q, d)) / 23).astype(dt)
     qs_q = jnp.abs(jax.random.normal(ks[5], (dh_q,))) + 0.5
     ks_q = jnp.abs(jax.random.normal(ks[6], (dh_q,))) + 0.5
     bias_q = jax.random.normal(ks[7], (h, n_q, n_q)).astype(jnp.float32)
     for nm, b_q in (("attn_qrows_kv", 2), ("attn_qrows", 1)):
         x_q = jax.random.normal(ks[8], (b_q, n_q, d)).astype(dt)
-        args_q = (x_q, gamma, wq, wk, wv, wo, qs_q, ks_q)
+        args_q = (x_q, gamma, wq_q, wk_q, wv_q, wo_q, qs_q, ks_q)
         got = jax.jit(lambda *a: attention_qrows_fused(
             *a, bias_q, 8.0, 64, False, True))(*args_q)
         want = jax.jit(lambda *a: _xla_reference_block(

@@ -92,6 +92,11 @@ def vq_nearest_pallas(tokens: Array, codebook: Array, *, tm: int = 256,
             bytes_accessed=(tokens.size + codebook.size * (mp // tm))
             * tokens.dtype.itemsize + mp * 4,
             transcendentals=0),
+        # the whole [mp/tm, tm] index output is VMEM-resident (tiling rule,
+        # see _kernel); at CTGenerate batch >= 8 (~52k tokens) that plus the
+        # double-buffered codebook tiles exceeds the 17 MB default scoped
+        # budget (observed compile OOM at [101, 512] out blocks)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
         interpret=interpret,
     )(tokens, codebook)
     return out.reshape(-1)[:m]
