@@ -83,6 +83,71 @@ def export_zeroshot(params, cfg: CTCLIPConfig, *, batch: int,
     return scorer_exp, prompter_exp
 
 
+def export_ctgenerate(params, cfg, *, batch: int, frames: int = 201,
+                      text_len: int = 64,
+                      compute_dtype: str = "bfloat16",
+                      platforms: Sequence[str] = ("tpu",)):
+    """Export the batched CTGenerate localization program:
+
+      localizer(params, bias_table, scans [B,1,F,H,W] f32,
+                text_embed [B,T,ctx] f32, text_mask [B,T] bool)
+        -> (feature_map, last-layer cross_attention, codebook ids)
+
+    The MaskGit CPB table is an ARGUMENT like the params (built once per
+    checkpoint with `models.ctgenerate.maskgit_bias_table` at serving
+    bring-up, exactly the bias_cache path) — baking the ~1.3 GB flagship
+    table into the artifact would defeat the MB-scale-blob design. Note:
+    kernel routing happens at TRACE time, so exporting ON a TPU host bakes
+    the Pallas serving kernels into the artifact; exporting from a CPU dev
+    box with platforms=["tpu"] produces a functionally identical XLA-path
+    program."""
+    from jax import export as jexport
+
+    from ..config import CTGenerateConfig
+    from ..models.ctgenerate import _ctgen_batched
+    from ..models.ctvit import token_grid_shape
+
+    assert isinstance(cfg, CTGenerateConfig)
+    s = cfg.ctvit.image_size
+    t, h, w = token_grid_shape(cfg.ctvit, (frames, s, s))
+    n = t * h * w
+    scans_spec = jax.ShapeDtypeStruct((batch, 1, frames, s, s), jnp.float32)
+    emb_spec = jax.ShapeDtypeStruct((batch, text_len, cfg.maskgit.dim_context),
+                                    jnp.float32)
+    mask_spec = jax.ShapeDtypeStruct((batch, text_len), jnp.bool_)
+    bias_spec = jax.ShapeDtypeStruct((cfg.maskgit.heads, n, n),
+                                     jnp.dtype(compute_dtype))
+    params_spec = _abstract(params)
+
+    localizer = jax.jit(lambda p, bias, scans, emb, mask: _ctgen_batched(
+        p, cfg, scans, emb, mask,
+        bias if n >= 4096 else None, compute_dtype=compute_dtype))
+    return jexport.export(localizer, platforms=list(platforms))(
+        params_spec, bias_spec, scans_spec, emb_spec, mask_spec)
+
+
+def save_exported_ctgenerate(out_dir, localizer_exp, cfg,
+                             meta: Optional[dict] = None) -> None:
+    _register_pytrees()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "ctgenerate_localizer.shlo").write_bytes(localizer_exp.serialize())
+    manifest = {
+        "platforms": list(localizer_exp.platforms),
+        "localizer_in_avals": [str(a) for a in localizer_exp.in_avals],
+        "model_cfg": repr(cfg),
+    }
+    manifest.update(meta or {})
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+
+
+def load_exported_ctgenerate(out_dir):
+    from jax import export as jexport
+    _register_pytrees()
+    return jexport.deserialize(
+        (Path(out_dir) / "ctgenerate_localizer.shlo").read_bytes())
+
+
 def save_exported(out_dir, scorer_exp, prompter_exp, cfg: CTCLIPConfig,
                   meta: Optional[dict] = None) -> None:
     _register_pytrees()
