@@ -169,8 +169,9 @@ def ctgenerate_apply_batched(params, cfg: CTGenerateConfig, ct_scans: Array,
     for one set of params — pass a fresh dict after loading new weights.
 
     `compute_dtype` defaults to bf16 — the serving dtype, like
-    `zeroshot_probs` (softmax/LN/CPB stay fp32 internally; keyword heatmaps
-    are min-max-normalized head means, pinned vs the fp32 path in
+    `zeroshot_probs` (softmax/LN internals stay fp32; the cached CPB table
+    itself rides in the serving dtype; keyword heatmaps are
+    min-max-normalized head means, pinned vs the fp32 path in
     tests/test_ctgenerate.py). Pass "float32" for the reference-parity
     numerics."""
     from .ctvit import token_grid_shape
