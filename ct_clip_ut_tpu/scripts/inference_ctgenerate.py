@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference drives scans one at a time")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="DP-shard batches over this many devices")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="serving dtype of the batched MaskGit stack "
+                        "(bf16 default like zero-shot; float32 = "
+                        "reference-parity numerics). Batch mode only — the "
+                        "one-scan-per-forward path always runs fp32")
     return p
 
 
@@ -162,7 +168,8 @@ def main(argv=None):
             text_embed, text_mask = t5.encode([s[1] for s in samples])
             out = ctgenerate_apply_batched(params, cfg, jnp.asarray(images),
                                            text_embed, text_mask, mesh=mesh,
-                                           bias_cache=bias_cache)
+                                           bias_cache=bias_cache,
+                                           compute_dtype=args.compute_dtype)
             cross_all = np.asarray(out.cross_attention)
             for i, (image, _, labels, scan_name, _) in enumerate(samples):
                 positives = [p for p, l in zip(PATHOLOGIES, labels.tolist())
